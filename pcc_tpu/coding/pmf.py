@@ -1,0 +1,31 @@
+"""PMF/CDF utilities for the latent entropy model (JAX).
+
+Mirrors reference pn_kit.py:439-461: a differentiable rate estimate used in
+the training loss, and the pmf->cdf conversion feeding the arithmetic coder.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def estimate_bits_from_pmf(pmf: jnp.ndarray, sym: jnp.ndarray) -> jnp.ndarray:
+    """Total code length estimate: -sum log2 pmf[sym], clamped at 1e-3
+    (reference pn_kit.py:439-450).
+
+    Args:
+      pmf: [..., L]; sym: [...] integer symbols in [0, L).
+    """
+    L = pmf.shape[-1]
+    flat_pmf = pmf.reshape(-1, L)
+    flat_sym = sym.reshape(-1)
+    p = jnp.take_along_axis(flat_pmf, flat_sym[:, None], axis=1)[:, 0]
+    return jnp.sum(-jnp.log2(jnp.clip(p, 1e-3)))
+
+
+def pmf_to_cdf(pmf: jnp.ndarray) -> jnp.ndarray:
+    """[..., L] pmf -> [..., L+1] cdf with a leading zero, clamped <= 1
+    (the softmax-cumsum drift guard of pn_kit.py:452-461)."""
+    cdf = jnp.cumsum(pmf, axis=-1)
+    zeros = jnp.zeros(pmf.shape[:-1] + (1,), dtype=pmf.dtype)
+    return jnp.minimum(jnp.concatenate([zeros, cdf], axis=-1), 1.0)

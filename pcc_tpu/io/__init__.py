@@ -1,0 +1,7 @@
+from pcc_tpu.io.ply import (
+    read_point_cloud,
+    read_point_clouds,
+    save_point_cloud,
+)
+
+__all__ = ["read_point_cloud", "read_point_clouds", "save_point_cloud"]
