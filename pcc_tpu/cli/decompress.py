@@ -1,0 +1,73 @@
+"""Decompress .p/.s/.c.bin streams to .ply (reference decompress.py CLI).
+
+Output files are named {name}.bin.ply — the name eval.py expects
+(eval.py:172); the reference writes {name} and leaves the compatible writer
+commented out (decompress.py:121-122), which this fixes deliberately.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from glob import glob
+
+import jax
+import numpy as np
+
+from pcc_tpu.cli.compress import load_codec
+from pcc_tpu.config import CodecConfig, DEFAULT_SEED
+from pcc_tpu.io import save_point_cloud
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="decompress.py",
+        description="Decompress Point Clouds Using Trained Model.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("compressed_path", help="Compressed .bin files folder.")
+    p.add_argument("decompressed_path", help="Decompressed .ply files folder.")
+    p.add_argument("model_load_folder", help="Directory where to load trained models.")
+    p.add_argument("--N0", type=int, default=1024, help="Scale Transformation constant.")
+    p.add_argument("--ALPHA", type=int, default=2, help="The factor of patch coverage ratio.")
+    p.add_argument("--K", type=int, default=256, help="Number of points in each patch.")
+    p.add_argument("--d", type=int, default=16, help="Bottleneck size.")
+    p.add_argument("--L", type=int, default=7, help="Quantization Level.")
+    p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    print(f"Processing on device: {jax.devices()[0]}")
+
+    cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L)
+    os.makedirs(args.decompressed_path, exist_ok=True)
+
+    files = sorted(glob(os.path.join(args.compressed_path, "*.s.bin")))
+    if not files:
+        raise SystemExit(f"no .s.bin files in {args.compressed_path}")
+    codec = load_codec(args.model_load_folder, cfg, args.seed)
+
+    times = []
+    for f in files:
+        name = os.path.split(f)[1][: -len(".s.bin")]
+        with open(os.path.join(args.compressed_path, name + ".s.bin"), "rb") as fi:
+            s_bytes = fi.read()
+        with open(os.path.join(args.compressed_path, name + ".p.bin"), "rb") as fi:
+            p_bytes = fi.read()
+        with open(os.path.join(args.compressed_path, name + ".c.bin"), "rb") as fi:
+            c_bytes = fi.read()
+
+        start = time.time()
+        pc = codec.decompress(p_bytes, s_bytes, c_bytes)
+        times.append(time.time() - start)
+        save_point_cloud(pc, name + ".bin.ply", path=args.decompressed_path)
+
+    steady = times[1:] if len(times) > 1 else times
+    print(f"Done! Execution time: {round(float(np.mean(steady)), 5)}s per point cloud.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Evaluate original vs decompressed clouds (reference eval.py CLI).
+
+Same CSV schema (eval.py:212-221): columns
+[filename, p2pointPSNR, p2planePSNR, chamfer_distance, n_points_input,
+ n_points_output, bpp, uniformity coefficient], plus the same printed
+averages line. Metrics run on device (pcc_tpu/metrics.py) instead of the
+reference's per-point host loops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from glob import glob
+
+import numpy as np
+import pandas as pd
+
+from pcc_tpu.io import read_point_cloud
+from pcc_tpu.metrics import (
+    calc_uc,
+    compute_bitrate,
+    compute_p2point_p2plane_psnr,
+    normalized_chamfer,
+)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="eval.py",
+        description="Evaluate point cloud patches",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+    )
+    p.add_argument("--input_glob", default="./data/ModelNet40_pc_01_8192p/**/test/*.ply",
+                   help="Point clouds glob pattern for compression.")
+    p.add_argument("--compressed_path", default="./data/ModelNet40_K256_compressed/",
+                   help="Compressed .bin files folder.")
+    p.add_argument("--decompressed_path", default="./data/ModelNet40_K256_decompressed/",
+                   help="Decompressed .ply files folder.")
+    p.add_argument("--output_file", default="./eval/ModelNet40_K256.csv",
+                   help="Evaluation Detail saved as csv.")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    files = sorted(glob(args.input_glob, recursive=True))
+    filenames = [os.path.split(x)[1] for x in files]
+
+    rows = {k: [] for k in (
+        "filename", "p2pointPSNR", "p2planePSNR", "chamfer_distance",
+        "n_points_input", "n_points_output", "bpp", "uniformity coefficient")}
+
+    print("Evaluating...")
+    for f, name in zip(files, filenames):
+        comp_s = os.path.join(args.compressed_path, name + ".s.bin")
+        comp_p = os.path.join(args.compressed_path, name + ".p.bin")
+        comp_c = os.path.join(args.compressed_path, name + ".c.bin")
+        decomp = os.path.join(args.decompressed_path, name + ".bin.ply")
+        if not os.path.exists(decomp):
+            continue
+
+        input_pc = read_point_cloud(f)
+        decomp_pc = read_point_cloud(decomp)
+
+        psnr = compute_p2point_p2plane_psnr(input_pc, decomp_pc)
+        n_in, n_out = input_pc.shape[0], decomp_pc.shape[0]
+        total_bytes = sum(os.path.getsize(p) for p in (comp_s, comp_p, comp_c))
+
+        rows["filename"].append(name)
+        rows["p2pointPSNR"].append(round(psnr["p2point_psnr"], 3))
+        rows["p2planePSNR"].append(round(psnr["p2plane_psnr"], 3))
+        rows["chamfer_distance"].append(normalized_chamfer(input_pc, decomp_pc))
+        rows["n_points_input"].append(n_in)
+        rows["n_points_output"].append(n_out)
+        rows["bpp"].append(compute_bitrate(total_bytes, n_in))
+        rows["uniformity coefficient"].append(round(calc_uc(input_pc, decomp_pc), 3))
+
+    print(
+        f"Done! The average p2pointPSNR: {round(float(np.mean(rows['p2pointPSNR'])), 3)} | "
+        f"p2plane PSNR: {round(float(np.mean(rows['p2planePSNR'])), 3)} | "
+        f"chamfer distance: {round(float(np.mean(rows['chamfer_distance'])), 8)} | "
+        f"bpp: {round(float(np.mean(rows['bpp'])), 3)} | "
+        f"uc: {round(float(np.mean(rows['uniformity coefficient'])), 3)}"
+    )
+
+    os.makedirs(os.path.dirname(args.output_file) or ".", exist_ok=True)
+    pd.DataFrame(rows).to_csv(args.output_file)
+    print(f"Evaluation results saved to {args.output_file}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Compression quality metrics, computed on device.
+
+Replaces the reference eval.py host loops: the per-point Python KDTree loop
+for D1/D2 PSNR (eval.py:43-98) becomes one batched 1-NN + projection
+program; normals come from the device PCA estimator (30-NN, matching
+open3d's estimate_normals at eval.py:60); the uniformity coefficient
+(eval.py:127-151) and min-max-normalized chamfer (eval.py:199-205) follow
+the reference formulas exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcc_tpu.ops.chamfer import chamfer_distance, min_sq_dists
+from pcc_tpu.ops.knn import knn_points
+from pcc_tpu.ops.normals import estimate_normals
+
+
+@functools.partial(jax.jit, static_argnames=("normal_knn",))
+def _d1_d2_device(orig: jnp.ndarray, recon: jnp.ndarray, normal_knn: int = 30):
+    normals = estimate_normals(orig, knn=normal_knn)
+    _, idx, nn = knn_points(recon[None], orig[None], K=1, return_nn=True)
+    nearest = nn[0, :, 0, :]                       # [M, 3]
+    normal = normals[idx[0, :, 0]]                 # [M, 3]
+    diff = recon - nearest
+    p2point_mse = jnp.mean(jnp.sum(diff**2, axis=-1))
+    p2plane_mse = jnp.mean(jnp.sum(diff * normal, axis=-1) ** 2)
+    diag_sq = jnp.sum((jnp.max(orig, axis=0) - jnp.min(orig, axis=0)) ** 2)
+    return p2point_mse, p2plane_mse, diag_sq
+
+
+def compute_p2point_p2plane_psnr(orig: np.ndarray, recon: np.ndarray) -> dict:
+    """D1/D2 PSNR with bbox-diagonal peak (eval.py:43-98 semantics)."""
+    p2point_mse, p2plane_mse, diag_sq = _d1_d2_device(
+        jnp.asarray(orig), jnp.asarray(recon)
+    )
+    p2point_mse, p2plane_mse, diag_sq = (
+        float(p2point_mse), float(p2plane_mse), float(diag_sq))
+    d1 = 10 * np.log10(diag_sq / p2point_mse) if p2point_mse > 0 else float("inf")
+    d2 = 10 * np.log10(diag_sq / p2plane_mse) if p2plane_mse > 0 else float("inf")
+    return {"p2point_psnr": d1, "p2plane_psnr": d2}
+
+
+@jax.jit
+def _uc_region_var(pc: jnp.ndarray, K: int = 1024):
+    """Variance of nearest-neighbor distances in the 1024-NN region around
+    the first point (eval.py:129-149)."""
+    _, _, nn = knn_points(pc[None, :1], pc[None], K=K, return_nn=True)
+    region = nn[0, 0] - pc[0]                      # [K, 3]
+    d = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum((region[:, None] - region[None]) ** 2, axis=-1), 0.0
+        )
+    )
+    # distance to the nearest *other* point: second-smallest in each row
+    top2 = -jax.lax.top_k(-d, 2)[0]
+    return jnp.var(top2[:, 1])
+
+
+def calc_uc(input_pc: np.ndarray, decomp_pc: np.ndarray) -> float:
+    """Uniformity coefficient: var(NN dists) ratio decomp/input
+    (eval.py:127-151)."""
+    vi = float(_uc_region_var(jnp.asarray(input_pc)))
+    vd = float(_uc_region_var(jnp.asarray(decomp_pc)))
+    return vd / vi if vi > 0 else float("inf")
+
+
+def normalized_chamfer(input_pc: np.ndarray, decomp_pc: np.ndarray) -> float:
+    """Chamfer after min-max normalizing both clouds by the *input's* global
+    scalar min/max (eval.py:199-205)."""
+    lo, hi = float(input_pc.min()), float(input_pc.max())
+    a = (np.asarray(input_pc) - lo) / (hi - lo)
+    b = (np.asarray(decomp_pc) - lo) / (hi - lo)
+    d, _ = chamfer_distance(jnp.asarray(b)[None], jnp.asarray(a)[None])
+    return float(d)
+
+
+def compute_bitrate(num_bytes: int, num_points: int) -> float:
+    """bpp = 8 * bytes / points (eval.py:122-125)."""
+    return 8.0 * num_bytes / num_points

@@ -1,0 +1,102 @@
+"""IPDAE baseline patch autoencoder + conditional probability model.
+
+TPU-native counterpart of reference AE.py. Same computational graph and
+parameter shapes (encoder AE.py:16-17, decoder AE.py:19-27, prob model
+AE.py:87-123), expressed channels-last so every layer is an MXU matmul over
+the full patch batch. `encode` / `decode` are exposed separately because
+compress and decompress each run only one half (compress.py:109-127,
+decompress.py:95-102).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pcc_tpu.models.layers import (
+    PointNetFeat,
+    PointwiseMLP,
+    SetAbstraction,
+    sigmoid_spread,
+    ste_round,
+)
+
+
+class PatchAE(nn.Module):
+    """Patch autoencoder: [B, K, 3] patches -> d-dim quantized latent -> k points.
+
+    Config mirrors AE.AE(K, k, d, L) (AE.py:12-32).
+    """
+
+    K: int = 256
+    k: int = 128
+    d: int = 16
+    L: int = 7
+    sa_knn: int = 16
+
+    def setup(self):
+        self.sa = SetAbstraction(knn=self.sa_knn, mlp=(32, 64, 128))
+        self.pn = PointNetFeat(
+            features=(128, 256, 512, self.d), relu=(True, True, True, False)
+        )
+        self.inv_pool = [nn.Dense(256), nn.Dense(1024), nn.Dense(self.k * 128)]
+        self.inv_mlp = PointwiseMLP(
+            features=(128, 64, 32, 3), relu=(True, True, True, False)
+        )
+
+    def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
+        """[B, K, 3] -> pre-quantization latent [B, d] (already spread into
+        the quantizer range; AE.py:36-44)."""
+        feats = self.sa(patches)                                   # [B, K, 128]
+        latent = self.pn(jnp.concatenate([patches, feats], axis=-1))
+        return sigmoid_spread(latent, self.L)
+
+    def quantize(self, latent: jnp.ndarray) -> jnp.ndarray:
+        return ste_round(latent)
+
+    def decode(self, latent_q: jnp.ndarray) -> jnp.ndarray:
+        """[B, d] quantized latent -> [B, k, 3] patch points (AE.py:47-53)."""
+        x = latent_q
+        for layer in self.inv_pool:
+            x = nn.relu(layer(x))                                  # [B, k*128]
+        # Reference views [B, k*128] as [B, 128, k] (channel-major memory,
+        # AE.py:49); channels-last equivalent: reshape then move k forward.
+        fold = jnp.transpose(x.reshape(x.shape[0], 128, self.k), (0, 2, 1))
+        tiled = jnp.repeat(latent_q[:, None, :], self.k, axis=1)   # [B, k, d]
+        mlp_in = jnp.concatenate([fold, tiled], axis=-1)
+        return self.inv_mlp(mlp_in)                                # [B, k, 3]
+
+    def __call__(self, patches: jnp.ndarray):
+        """Training forward (AE.py:34-55): returns
+        (reconstructed [B, k, 3], latent [B, d], latent_quantized [B, d])."""
+        latent = self.encode(patches)
+        latent_q = self.quantize(latent)
+        return self.decode(latent_q), latent, latent_q
+
+
+class ConditionalProbabilityModel(nn.Module):
+    """Latent PMFs conditioned only on the decoded skeleton (AE.py:87-123).
+
+    This is the architectural invariant that makes the stream decodable: the
+    decoder reproduces the identical PMF from the transmitted skeleton alone
+    (decompress.py:88-93).
+
+    [B, S, 3] skeleton -> [B, S, d, L] pmf.
+    """
+
+    d: int = 16
+    L: int = 7
+
+    def setup(self):
+        self.model_pn = PointNetFeat(features=(64, 128, 256), relu=(True, True, True))
+        self.model_mlp = PointwiseMLP(
+            features=(512, 512, self.d * self.L), relu=(True, True, False)
+        )
+
+    def __call__(self, sampled_xyz: jnp.ndarray) -> jnp.ndarray:
+        B, S, _ = sampled_xyz.shape
+        feature = self.model_pn(sampled_xyz)                        # [B, 256]
+        tiled = jnp.repeat(feature[:, None, :], S, axis=1)          # [B, S, 256]
+        mlp_in = jnp.concatenate([sampled_xyz, tiled], axis=-1)
+        out = self.model_mlp(mlp_in).reshape(B, S, self.d, self.L)
+        return nn.softmax(out, axis=-1)

@@ -1,0 +1,102 @@
+"""Shared point-set network building blocks (flax.linen, channels-last).
+
+TPU-first counterparts of the reference's torch modules in pn_kit.py. The
+reference expresses pointwise MLPs as 1x1 Conv2d stacks over [B, C, N, 1]
+tensors (pn_kit.py:98-305); on TPU a pointwise MLP is just a Dense over the
+trailing feature axis of a [B, N, C] tensor — each layer is one [B*N, C] x
+[C, C'] matmul that tiles straight onto the MXU, and XLA fuses the
+activations into the matmul epilogue.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pcc_tpu.ops.knn import knn_points
+
+
+def ste_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Straight-through rounding: round in the forward pass, identity
+    gradient (reference STEQuantize, AE.py:72-85)."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
+def sigmoid_spread(latent: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Squash the latent into the quantizer's dynamic range
+    [-(L-0.2)/2, +(L-0.2)/2] (reference AE.py:42-44)."""
+    spread = L - 0.2
+    return jax.nn.sigmoid(latent) * spread - spread / 2
+
+
+class PointwiseMLP(nn.Module):
+    """Per-point MLP: [..., N, C] -> [..., N, features[-1]].
+
+    relu[i] toggles the activation after layer i (the reference's per-layer
+    relu flags, pn_kit.py:263-305). BatchNorm optional (used by the PN++
+    family); pass `train` via the `use_running_average` idiom.
+    """
+
+    features: Sequence[int]
+    relu: Sequence[bool] | None = None
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        relu = self.relu if self.relu is not None else [True] * len(self.features)
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, name=f"dense_{i}")(x)
+            if self.use_bn:
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    axis=-1,
+                    name=f"bn_{i}",
+                )(x)
+            if relu[i]:
+                x = nn.relu(x)
+        return x
+
+
+class PointNetFeat(nn.Module):
+    """Pointwise MLP + max pool over points: [B, N, C] -> [B, D]
+    (reference PointNet, pn_kit.py:98-144)."""
+
+    features: Sequence[int]
+    relu: Sequence[bool] | None = None
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = PointwiseMLP(self.features, self.relu, self.use_bn, name="mlp")(x, train)
+        return jnp.max(x, axis=-2)
+
+
+class SetAbstraction(nn.Module):
+    """Per-point local-feature layer via KNN grouping.
+
+    The reference SetAbstraction (pn_kit.py:146-211) is instantiated with
+    npoint == N in the patch AE (AE.py:16), so the FPS branch is dead and it
+    reduces to: for every point, gather its K nearest neighbors inside the
+    patch, center them, run a 3-layer pointwise MLP, max over neighbors.
+    [B, N, 3] -> [B, N, mlp[-1]].
+
+    All B*N neighborhoods are processed as one [B*N*K, C] matmul batch —
+    this is the layer the reference could only run one patch at a time in
+    its compress loop (compress.py:112-122).
+    """
+
+    knn: int = 16
+    mlp: Sequence[int] = (32, 64, 128)
+    final_relu: bool = True
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        _, _, grouped = knn_points(xyz, xyz, K=self.knn, return_nn=True)
+        grouped = grouped - xyz[..., None, :]            # [B, N, K, 3]
+        relu = [True] * (len(self.mlp) - 1) + [self.final_relu]
+        feats = PointwiseMLP(self.mlp, relu, self.use_bn, name="mlp")(grouped, train)
+        return jnp.max(feats, axis=-2)                   # [B, N, mlp[-1]]

@@ -1,0 +1,23 @@
+"""Rate-distortion training losses (reference AE.py:57-70, PPPF_AE.py:153-178)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pcc_tpu.ops.chamfer import chamfer_distance
+
+
+def rate_distortion_loss(
+    pc_pred: jnp.ndarray,
+    pc_target: jnp.ndarray,
+    fbpp: jnp.ndarray,
+    lam: float,
+):
+    """chamfer(pred, target) + lam * fbpp.
+
+    Returns (loss, aux dict) so callers can log the distortion/rate split.
+    """
+    d, _ = chamfer_distance(pc_pred, pc_target)
+    rate = jnp.mean(fbpp)
+    loss = d + lam * rate
+    return loss, {"chamfer": d, "fbpp": rate}
