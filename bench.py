@@ -1,0 +1,206 @@
+"""Headline benchmark: encode+decode throughput (points/sec/chip).
+
+Config matches the reference's headline run (ModelNet40, K=256, N=8192,
+BASELINE.md). Weights are untrained — throughput is weight-independent.
+
+vs_baseline compares against a reference-style CPU execution of the same
+codec: per-patch Python encoder loop (compress.py:112-122), host python
+octree DFS with adaptive-depth retries (pn_kit.py:380-401, octree_np.py),
+per-step host<->device shuttling — i.e. the serial architecture of the
+reference, measured in this environment. The baseline is measured in a
+JAX_PLATFORMS=cpu subprocess and cached in .bench_baseline.json.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_baseline.json")
+BATCH = 16
+N_CLOUDS_TPU = 64
+N_CLOUDS_BASE = 2
+
+
+def synthetic_clouds(n, N=8192, seed=0):
+    rng = np.random.default_rng(seed)
+    clouds = []
+    for _ in range(n):
+        centers = rng.random((16, 3)) * 4 - 1
+        pts = centers[rng.integers(0, 16, N)] + rng.standard_normal((N, 3)) * 0.15
+        clouds.append(pts.astype(np.float32))
+    return clouds
+
+
+def bench_tpu():
+    from pcc_tpu.cli._common import init_params_cpu, setup_jax
+    from pcc_tpu.codec import Codec
+    from pcc_tpu.config import CodecConfig
+
+    setup_jax()
+    cfg = CodecConfig()
+    ae_params, prob_params = init_params_cpu(11, cfg)
+    codec = Codec(cfg, ae_params, prob_params, batch_size=BATCH)
+    clouds = synthetic_clouds(N_CLOUDS_TPU + BATCH)
+
+    # warmup (compile both directions at the steady batch shape)
+    streams = codec.compress_many(clouds[:BATCH])
+    codec.decompress_many(streams)
+
+    t0 = time.perf_counter()
+    streams = codec.compress_many(clouds[BATCH:])
+    outs = codec.decompress_many(streams)
+    dt = time.perf_counter() - t0
+    assert outs[-1].shape[0] == cfg.N
+    return cfg.N * N_CLOUDS_TPU / dt
+
+
+def bench_baseline():
+    """Reference-style serial CPU pipeline (run under JAX_PLATFORMS=cpu)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcc_tpu.codec import init_params, make_models
+    from pcc_tpu.coding import rangecoder
+    from pcc_tpu.coding.pmf import pmf_to_cdf
+    from pcc_tpu.config import CodecConfig
+    from pcc_tpu.models.ipdae import PatchAE
+
+    cfg = CodecConfig()
+    ae, prob = make_models(cfg)
+    ae_params, prob_params = init_params(jax.random.key(11), cfg)
+
+    encode_one_patch = jax.jit(
+        lambda params, patch: ae.apply(params, patch, method=PatchAE.encode)
+    )
+    prob_fn = jax.jit(lambda params, xyz: prob.apply(params, xyz))
+    decode_one = jax.jit(
+        lambda params, latents: ae.apply(params, latents, method=PatchAE.decode)
+    )
+
+    def fps_host(pc, S):
+        # sequential numpy FPS, as in the reference's python loop
+        N = pc.shape[0]
+        dist = np.full(N, 1e10, np.float32)
+        far = 0
+        out = np.zeros(S, np.int64)
+        for i in range(S):
+            out[i] = far
+            d = ((pc - pc[far]) ** 2).sum(-1)
+            dist = np.minimum(dist, d)
+            far = int(dist.argmax())
+        return out
+
+    def octree_host(pts, depth):
+        # python DFS over cube subdivisions with per-node numpy masks —
+        # the reference's host octree execution style
+        bits = []
+        stack = [(np.zeros(3), 1.0, 0)]
+        while stack:
+            origin, size, d = stack.pop()
+            inside = np.all((pts >= origin) & (pts <= origin + size), axis=1)
+            if inside.any():
+                bits.append(1)
+                if d < depth:
+                    h = size / 2
+                    for cx in (0, 1):
+                        for cy in (0, 1):
+                            for cz in (0, 1):
+                                stack.append((origin + h * np.array([cx, cy, cz]), h, d + 1))
+            else:
+                bits.append(0)
+        return np.array(bits, np.uint8)
+
+    clouds = synthetic_clouds(N_CLOUDS_BASE + 1, seed=1)
+
+    def run_one(pc):
+        # normalize (host)
+        mn, mx = pc.min(0), pc.max(0)
+        center, longest = (mn + mx) / 2, (mx - mn).max()
+        pc01 = (pc - center) * 0.99 / longest + 0.5
+        # FPS (host serial)
+        samp = pc01[fps_host(pc01, cfg.S)]
+        # adaptive-depth octree with per-depth retries (host serial DFS)
+        for depth in range(1, 17):
+            reso = 1.0 / (1 << depth)
+            vox = np.unique(np.floor(samp / reso), axis=0)
+            code = octree_host(samp, depth)
+            if code.size / cfg.N > cfg.min_bpp and len(vox) == cfg.S:
+                break
+        rec = (np.unique(np.floor(samp / reso), axis=0) + 0.5) * reso
+        # KNN patches (host)
+        d2 = ((rec[:, None] - pc01[None]) ** 2).sum(-1)
+        idx = np.argpartition(d2, cfg.K, axis=1)[:, : cfg.K]
+        patches = (pc01[idx] - rec[:, None]) * cfg.patch_scale
+        # per-patch encoder loop with host<->device shuttle (compress.py:112-122)
+        latents = []
+        for j in range(cfg.S):
+            lat = encode_one_patch(ae_params, jnp.asarray(patches[j : j + 1]))
+            latents.append(np.asarray(lat))
+        latent = np.concatenate(latents)
+        sym = np.clip(np.round(latent) + cfg.L // 2, 0, cfg.L - 1).astype(np.int16)
+        pmf = np.asarray(prob_fn(prob_params, jnp.asarray(rec[None])))[0]
+        cdf = np.asarray(pmf_to_cdf(jnp.asarray(pmf)))
+        blob = rangecoder.encode_float_cdf(cdf, sym)
+        # decode: pmf again, arithmetic decode, decoder net
+        sym2 = rangecoder.decode_float_cdf(cdf, blob)
+        out = decode_one(ae_params, jnp.asarray(sym2.astype(np.float32) - cfg.L // 2))
+        out = np.asarray(out) / cfg.patch_scale + rec[:, None]
+        return out.reshape(-1, 3)
+
+    run_one(clouds[0])  # warmup compiles
+    t0 = time.perf_counter()
+    for pc in clouds[1:]:
+        run_one(pc)
+    dt = time.perf_counter() - t0
+    return cfg.N * N_CLOUDS_BASE / dt
+
+
+def get_baseline():
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)["points_per_sec"]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # keep the CPU subprocess fully local: no remote compile service, and a
+    # cache separate from the TPU process's
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    out = subprocess.run(
+        [sys.executable, __file__, "--baseline"],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    try:
+        val = float(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        sys.stderr.write(out.stderr[-2000:])
+        return None
+    with open(CACHE, "w") as f:
+        json.dump({"points_per_sec": val}, f)
+    return val
+
+
+def main():
+    if "--baseline" in sys.argv:
+        print(bench_baseline())
+        return
+    value = bench_tpu()
+    baseline = get_baseline()
+    print(json.dumps({
+        "metric": "encode+decode throughput, ModelNet40-config K256 N8192",
+        "value": round(value, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

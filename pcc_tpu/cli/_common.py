@@ -1,0 +1,40 @@
+"""Shared CLI runtime setup."""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    """Enable the persistent compilation cache (first compile of the codec
+    pipeline costs tens of seconds on TPU; cached compiles are instant) and
+    keep dispatch async-friendly. Call before heavy jax use."""
+    import jax
+
+    # Separate the cache per platform string: mixing CPU executables
+    # compiled under different machine-feature assumptions into one cache
+    # can hang/crash at AOT load time.
+    platform = os.environ.get("JAX_PLATFORMS", "default").replace(",", "_") or "default"
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser(f"~/.cache/pcc_tpu_jax/{platform}"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def init_params_cpu(seed: int, cfg):
+    """Initialize random params on the CPU backend — param init is tiny
+    compute, and TPU dispatch latency makes device-side init pointlessly
+    slow. Falls back to the default device if no CPU backend exists."""
+    import jax
+
+    from pcc_tpu.codec import init_params
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return init_params(jax.random.key(seed), cfg)
+    with jax.default_device(cpu):
+        return init_params(jax.random.key(seed), cfg)

@@ -13,10 +13,10 @@ import os
 import time
 from glob import glob
 
-import jax
 import numpy as np
 
-from pcc_tpu.codec import Codec, init_params
+from pcc_tpu.cli._common import init_params_cpu, setup_jax
+from pcc_tpu.codec import Codec
 from pcc_tpu.config import CodecConfig, DEFAULT_SEED
 from pcc_tpu.io import read_point_cloud
 from pcc_tpu.train.checkpoint import load_inference_params
@@ -37,20 +37,25 @@ def build_parser():
     p.add_argument("--d", type=int, default=16, help="Bottleneck size.")
     p.add_argument("--L", type=int, default=7, help="Quantization Level.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="Clouds per device dispatch.")
     return p
 
 
-def load_codec(model_load_folder: str, cfg: CodecConfig, seed: int) -> Codec:
+def load_codec(model_load_folder: str, cfg: CodecConfig, seed: int,
+               batch_size: int = 16) -> Codec:
     ae_params, prob_params = load_inference_params(model_load_folder)
     if ae_params is None:
         print(f"WARNING: no ae.pkl/prob.pkl in {model_load_folder}; "
               "using randomly initialized weights.")
-        ae_params, prob_params = init_params(jax.random.key(seed), cfg)
-    return Codec(cfg, ae_params, prob_params)
+        ae_params, prob_params = init_params_cpu(seed, cfg)
+    return Codec(cfg, ae_params, prob_params, batch_size=batch_size)
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    setup_jax()
+    import jax
     print(f"Processing on device: {jax.devices()[0]}")
 
     cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L)
@@ -59,14 +64,17 @@ def main(argv=None):
     files = sorted(glob(args.input_glob, recursive=True))
     if not files:
         raise SystemExit(f"no input files match {args.input_glob}")
-    codec = load_codec(args.model_load_folder, cfg, args.seed)
+    codec = load_codec(args.model_load_folder, cfg, args.seed,
+                       batch_size=args.batch_size)
 
-    times = []
-    for i, f in enumerate(files):
-        pc = read_point_cloud(f)
-        start = time.time()
-        p_bytes, s_bytes, c_bytes = codec.compress(pc)
-        times.append(time.time() - start)
+    clouds = [read_point_cloud(f) for f in files]
+    # warmup/compile on the first cloud so the timed run is steady-state
+    codec.compress(clouds[0])
+    start = time.time()
+    streams = codec.compress_many(clouds)
+    elapsed = time.time() - start
+
+    for f, (p_bytes, s_bytes, c_bytes) in zip(files, streams):
         name = os.path.split(f)[1]
         with open(os.path.join(args.compressed_path, name + ".p.bin"), "wb") as fo:
             fo.write(p_bytes)
@@ -75,10 +83,7 @@ def main(argv=None):
         with open(os.path.join(args.compressed_path, name + ".c.bin"), "wb") as fo:
             fo.write(c_bytes)
 
-    # First call includes XLA compilation; report the steady-state mean like
-    # the reference's per-cloud wall time (compress.py:154-158).
-    steady = times[1:] if len(times) > 1 else times
-    print(f"Done! Execution time: {round(float(np.mean(steady)), 5)}s per point cloud.")
+    print(f"Done! Execution time: {round(elapsed / len(files), 5)}s per point cloud.")
 
 
 if __name__ == "__main__":

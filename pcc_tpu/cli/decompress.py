@@ -12,9 +12,9 @@ import os
 import time
 from glob import glob
 
-import jax
 import numpy as np
 
+from pcc_tpu.cli._common import setup_jax
 from pcc_tpu.cli.compress import load_codec
 from pcc_tpu.config import CodecConfig, DEFAULT_SEED
 from pcc_tpu.io import save_point_cloud
@@ -35,11 +35,15 @@ def build_parser():
     p.add_argument("--d", type=int, default=16, help="Bottleneck size.")
     p.add_argument("--L", type=int, default=7, help="Quantization Level.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="Clouds per device dispatch.")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    setup_jax()
+    import jax
     print(f"Processing on device: {jax.devices()[0]}")
 
     cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L)
@@ -48,25 +52,28 @@ def main(argv=None):
     files = sorted(glob(os.path.join(args.compressed_path, "*.s.bin")))
     if not files:
         raise SystemExit(f"no .s.bin files in {args.compressed_path}")
-    codec = load_codec(args.model_load_folder, cfg, args.seed)
+    codec = load_codec(args.model_load_folder, cfg, args.seed,
+                       batch_size=args.batch_size)
 
-    times = []
+    names, streams = [], []
     for f in files:
         name = os.path.split(f)[1][: -len(".s.bin")]
-        with open(os.path.join(args.compressed_path, name + ".s.bin"), "rb") as fi:
-            s_bytes = fi.read()
-        with open(os.path.join(args.compressed_path, name + ".p.bin"), "rb") as fi:
-            p_bytes = fi.read()
-        with open(os.path.join(args.compressed_path, name + ".c.bin"), "rb") as fi:
-            c_bytes = fi.read()
+        names.append(name)
+        blobs = []
+        for ext in (".p.bin", ".s.bin", ".c.bin"):
+            with open(os.path.join(args.compressed_path, name + ext), "rb") as fi:
+                blobs.append(fi.read())
+        streams.append(tuple(blobs))
 
-        start = time.time()
-        pc = codec.decompress(p_bytes, s_bytes, c_bytes)
-        times.append(time.time() - start)
+    codec.decompress(*streams[0])  # warmup/compile
+    start = time.time()
+    clouds = codec.decompress_many(streams)
+    elapsed = time.time() - start
+
+    for name, pc in zip(names, clouds):
         save_point_cloud(pc, name + ".bin.ply", path=args.decompressed_path)
 
-    steady = times[1:] if len(times) > 1 else times
-    print(f"Done! Execution time: {round(float(np.mean(steady)), 5)}s per point cloud.")
+    print(f"Done! Execution time: {round(elapsed / len(files), 5)}s per point cloud.")
 
 
 if __name__ == "__main__":

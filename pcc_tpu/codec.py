@@ -116,74 +116,158 @@ def decode_cloud(ae_params, sym, rec_xyz, center, longest, *, cfg: CodecConfig):
 
 
 class Codec:
-    """Host-side wrapper: jitted device pipelines + bitstream serialization."""
+    """Host-side wrapper: jitted device pipelines + bitstream serialization.
 
-    def __init__(self, cfg: CodecConfig, ae_params, prob_params):
+    Multi-cloud calls batch many clouds into ONE device dispatch (vmap over
+    the cloud axis) and overlap device compute with host bit serialization:
+    while the host range-codes batch i, batch i+1 is already executing on
+    the TPU (JAX's async dispatch). This amortizes per-dispatch latency and
+    keeps both sides busy — the reference instead serializes everything,
+    cloud by cloud, patch by patch (compress.py:78-155).
+    """
+
+    def __init__(self, cfg: CodecConfig, ae_params, prob_params,
+                 batch_size: int = 16):
         self.cfg = cfg
         self.ae_params = ae_params
         self.prob_params = prob_params
-        self._encode = jax.jit(functools.partial(encode_cloud, cfg=cfg))
-        self._decode_cfg_cache = {}
+        self.batch_size = batch_size
+        self._encode_cache = {}
+        self._decode_cache = {}
+
+    def _encode_fn(self, N: int):
+        """Batched encode jit, cached per cloud size N."""
+        if N not in self._encode_cache:
+            cfg = self.cfg.with_n(N)
+            self._encode_cache[N] = jax.jit(
+                jax.vmap(
+                    functools.partial(encode_cloud, cfg=cfg),
+                    in_axes=(None, None, 0, 0),
+                )
+            )
+        return self._encode_cache[N]
 
     def _decode_fns(self, S: int):
         """decompress derives S from the parsed skeleton (decompress.py:85);
         jits are cached per S."""
-        if S not in self._decode_cfg_cache:
+        if S not in self._decode_cache:
             # N is inferred as S*k on the decode side (decompress.py:104-107)
             # so the patch scale matches whatever N the encoder saw.
             cfg = self.cfg.with_n(S * self.cfg.k)
-            self._decode_cfg_cache[S] = (
-                jax.jit(functools.partial(skeleton_cdf, cfg=cfg)),
-                jax.jit(functools.partial(decode_cloud, cfg=cfg)),
+            self._decode_cache[S] = (
+                jax.jit(jax.vmap(
+                    functools.partial(skeleton_cdf, cfg=cfg),
+                    in_axes=(None, 0),
+                )),
+                jax.jit(jax.vmap(
+                    functools.partial(decode_cloud, cfg=cfg),
+                    in_axes=(None, 0, 0, 0, 0),
+                )),
             )
-        return self._decode_cfg_cache[S]
+        return self._decode_cache[S]
 
     # ------------------------------------------------------------- encode --
 
     def compress(self, pc: np.ndarray, fps_start: int = 0):
         """[N, 3] float32 -> (p_bytes, s_bytes, c_bytes)."""
-        cfg = self.cfg.with_n(int(pc.shape[0]))
-        if cfg.N != self.cfg.N:
-            enc = jax.jit(functools.partial(encode_cloud, cfg=cfg))
-        else:
-            enc = self._encode
-        res = enc(
-            self.ae_params, self.prob_params, jnp.asarray(pc),
-            jnp.asarray(fps_start, jnp.int32),
-        )
-        sym = np.asarray(res.sym, dtype=np.int16)
-        cdf = np.asarray(res.cdf, dtype=np.float64)
-        p_bytes = rangecoder.encode_float_cdf(cdf, sym)
+        return self.compress_many([pc], [fps_start])[0]
 
-        depth = int(res.depth)
-        codes = np.asarray(res.sorted_codes, dtype=np.int64) >> (
-            3 * (cfg.max_depth - depth)
-        )
-        s_bytes = pack_bits(emit_octree_bits(codes, depth))
+    def compress_many(self, clouds, fps_starts=None):
+        """Compress a list of [N, 3] clouds -> list of (p, s, c) bytes.
 
-        header = np.zeros(4, dtype=np.float32)
-        header[:3] = np.asarray(res.center)
-        header[3] = float(res.longest)
-        return p_bytes, s_bytes, header.tobytes()
+        Clouds of equal N are batched into single dispatches; device batches
+        are pipelined ahead of host serialization.
+        """
+        if fps_starts is None:
+            fps_starts = [0] * len(clouds)
+        results: list = [None] * len(clouds)
+
+        # group indices by cloud size (S and the jit depend on N)
+        by_n: dict[int, list[int]] = {}
+        for i, pc in enumerate(clouds):
+            by_n.setdefault(int(pc.shape[0]), []).append(i)
+
+        for N, idxs in by_n.items():
+            enc = self._encode_fn(N)
+            cfg = self.cfg.with_n(N)
+            batches = [
+                idxs[lo : lo + self.batch_size]
+                for lo in range(0, len(idxs), self.batch_size)
+            ]
+
+            def dispatch(batch_idx):
+                # pad partial batches to batch_size (repeat last cloud) so
+                # every dispatch reuses one compiled shape
+                pad = self.batch_size - len(batch_idx)
+                idx_p = list(batch_idx) + [batch_idx[-1]] * pad
+                pcs = np.stack([clouds[i] for i in idx_p])
+                starts = np.asarray([fps_starts[i] for i in idx_p], np.int32)
+                return enc(self.ae_params, self.prob_params,
+                           jnp.asarray(pcs), jnp.asarray(starts))
+
+            pending = dispatch(batches[0])
+            for b, batch_idx in enumerate(batches):
+                res = pending
+                if b + 1 < len(batches):
+                    pending = dispatch(batches[b + 1])  # overlap device work
+                syms = np.asarray(res.sym, dtype=np.int16)
+                cdfs = np.asarray(res.cdf, dtype=np.float64)
+                depths = np.asarray(res.depth)
+                all_codes = np.asarray(res.sorted_codes, dtype=np.int64)
+                centers = np.asarray(res.center)
+                longests = np.asarray(res.longest)
+                for j, i in enumerate(batch_idx):
+                    p_bytes = rangecoder.encode_float_cdf(cdfs[j], syms[j])
+                    depth = int(depths[j])
+                    codes = all_codes[j] >> (3 * (cfg.max_depth - depth))
+                    s_bytes = pack_bits(emit_octree_bits(codes, depth))
+                    header = np.zeros(4, dtype=np.float32)
+                    header[:3] = centers[j]
+                    header[3] = longests[j]
+                    results[i] = (p_bytes, s_bytes, header.tobytes())
+        return results
 
     # ------------------------------------------------------------- decode --
 
     def decompress(self, p_bytes: bytes, s_bytes: bytes, c_bytes: bytes) -> np.ndarray:
-        codes, depth = parse_octree_bits(unpack_bits(s_bytes))
-        rec_xyz = codes_to_points(codes, depth)             # [S, 3], desc Morton
-        S = rec_xyz.shape[0]
-        cdf_fn, dec_fn = self._decode_fns(S)
+        return self.decompress_many([(p_bytes, s_bytes, c_bytes)])[0]
 
-        cdf = np.asarray(cdf_fn(self.prob_params, jnp.asarray(rec_xyz)),
-                         dtype=np.float64)
-        sym = rangecoder.decode_float_cdf(cdf, p_bytes).astype(np.int32)
+    def decompress_many(self, streams):
+        """Decompress a list of (p, s, c) byte triples -> list of [M, 3]."""
+        results: list = [None] * len(streams)
 
-        header = np.frombuffer(c_bytes, dtype=np.float32)
-        pc = dec_fn(
-            self.ae_params,
-            jnp.asarray(sym),
-            jnp.asarray(rec_xyz),
-            jnp.asarray(header[:3]),
-            jnp.asarray(header[3]),
-        )
-        return np.asarray(pc)
+        # host-parse all skeletons first; group by S for batched dispatch
+        parsed = []
+        for p_bytes, s_bytes, c_bytes in streams:
+            codes, depth = parse_octree_bits(unpack_bits(s_bytes))
+            parsed.append((codes_to_points(codes, depth),
+                           np.frombuffer(c_bytes, dtype=np.float32)))
+        by_s: dict[int, list[int]] = {}
+        for i, (rec, _) in enumerate(parsed):
+            by_s.setdefault(rec.shape[0], []).append(i)
+
+        for S, idxs in by_s.items():
+            cdf_fn, dec_fn = self._decode_fns(S)
+            for lo in range(0, len(idxs), self.batch_size):
+                batch_idx = idxs[lo : lo + self.batch_size]
+                pad = self.batch_size - len(batch_idx)
+                idx_p = list(batch_idx) + [batch_idx[-1]] * pad
+                recs = jnp.asarray(np.stack([parsed[i][0] for i in idx_p]))
+                cdfs = np.asarray(cdf_fn(self.prob_params, recs), dtype=np.float64)
+                syms = np.stack([
+                    rangecoder.decode_float_cdf(cdfs[j], streams[i][0])
+                    .astype(np.int32)
+                    for j, i in enumerate(idx_p)
+                ])
+                headers = np.stack([parsed[i][1] for i in idx_p])
+                pcs = dec_fn(
+                    self.ae_params,
+                    jnp.asarray(syms),
+                    recs,
+                    jnp.asarray(headers[:, :3]),
+                    jnp.asarray(headers[:, 3]),
+                )
+                pcs = np.asarray(pcs)
+                for j, i in enumerate(batch_idx):
+                    results[i] = pcs[j]
+        return results

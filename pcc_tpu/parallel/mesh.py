@@ -1,0 +1,70 @@
+"""Device-mesh data parallelism for training and batch compression.
+
+The reference has no distributed execution at all (SURVEY.md §2.5): one
+device, batch hard-capped at 1. Here the cloud batch axis is a named mesh
+axis: params are replicated, batches sharded, and XLA inserts the psum for
+gradient averaging over ICI. The same mesh scales batch compression (each
+chip encodes different clouds) — no NCCL/MPI anywhere, just
+jax.sharding + jit's SPMD partitioner.
+
+Patch axes stay *inside* each cloud's program (vmap), so the layout
+composes: mesh ('data',) today, ('data', 'model') later if a model ever
+outgrows one chip (these models are a few M params — they won't).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pcc_tpu.config import CodecConfig
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Place [B, ...] host array with B split across the mesh axis."""
+    return jax.device_put(batch, NamedSharding(mesh, P(axis)))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params / opt state) across the mesh."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def build_sharded_train_step(cfg: CodecConfig, tx, mesh: Mesh,
+                             rate_mode: str = "reference", axis: str = "data"):
+    """Data-parallel version of train.steps.build_train_step.
+
+    Batch is sharded over `axis`; params/opt-state replicated. The mean in
+    the loss makes jit emit a gradient all-reduce over ICI automatically.
+    """
+    from pcc_tpu.train.steps import rd_forward
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, data, repl, repl),
+        out_shardings=(repl, repl),
+    )
+    def train_step(state, batch, key, lam):
+        grad_fn = jax.value_and_grad(
+            functools.partial(rd_forward, cfg=cfg, rate_mode=rate_mode),
+            has_aux=True,
+        )
+        (loss, aux), grads = grad_fn(state.params, batch, key, lam)
+        new_state = state.apply_gradients(grads, tx)
+        aux["loss"] = loss
+        return new_state, aux
+
+    return train_step
