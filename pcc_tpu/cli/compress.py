@@ -39,6 +39,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--batch_size", type=int, default=16,
                    help="Clouds per device dispatch.")
+    p.add_argument("--profile_dir", default=None,
+                   help="Write a jax.profiler trace of the compress run here.")
     return p
 
 
@@ -70,9 +72,14 @@ def main(argv=None):
     clouds = [read_point_cloud(f) for f in files]
     # warmup/compile on the first cloud so the timed run is steady-state
     codec.compress(clouds[0])
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     start = time.time()
     streams = codec.compress_many(clouds)
     elapsed = time.time() - start
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile_dir}")
 
     for f, (p_bytes, s_bytes, c_bytes) in zip(files, streams):
         name = os.path.split(f)[1]

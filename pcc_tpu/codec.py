@@ -36,7 +36,7 @@ from pcc_tpu.coding.octree_host import (
 from pcc_tpu.coding.pmf import pmf_to_cdf
 from pcc_tpu.config import CodecConfig
 from pcc_tpu.models.ipdae import ConditionalProbabilityModel, PatchAE
-from pcc_tpu.ops.fps import farthest_point_sample
+from pcc_tpu.ops.fps import fps_batch
 from pcc_tpu.ops.knn import knn_points
 from pcc_tpu.ops.normalize import denormalize, normalize
 
@@ -66,12 +66,10 @@ class EncodeResult(NamedTuple):
     rec_xyz: jnp.ndarray      # [S, 3] decoded skeleton (normalized coords)
 
 
-def encode_cloud(ae_params, prob_params, pc, fps_start, *, cfg: CodecConfig):
-    """Full analysis transform for one cloud [N, 3] (compress.py:78-136)."""
+def _encode_from_skeleton(ae_params, prob_params, pc01, sampled, center,
+                          longest, *, cfg: CodecConfig) -> EncodeResult:
+    """Per-cloud analysis transform after FPS (vmapped over the batch)."""
     ae, prob = make_models(cfg)
-    pc01, center, longest = normalize(pc, cfg.margin)
-    idx = farthest_point_sample(pc01, cfg.S, fps_start)
-    sampled = pc01[idx]
     octree = octree_analyze(sampled, cfg.N, cfg.min_bpp, cfg.max_depth)
 
     # Patches around the *decoded* skeleton (train.py:185-189) — the decoder
@@ -95,6 +93,29 @@ def encode_cloud(ae_params, prob_params, pc, fps_start, *, cfg: CodecConfig):
         longest=longest,
         rec_xyz=octree.rec_xyz,
     )
+
+
+def encode_clouds(ae_params, prob_params, pcs, fps_starts, *,
+                  cfg: CodecConfig) -> EncodeResult:
+    """Batched analysis transform [B, N, 3] -> EncodeResult with leading B
+    (compress.py:78-136, all clouds and all patches in one XLA program).
+    FPS runs as one batched Pallas kernel on TPU (ops/fps_pallas.py)."""
+    pc01, center, longest = jax.vmap(
+        functools.partial(normalize, margin=cfg.margin))(pcs)
+    idx = fps_batch(pc01, cfg.S, fps_starts)
+    sampled = jnp.take_along_axis(pc01, idx[..., None], axis=1)       # [B, S, 3]
+    return jax.vmap(
+        functools.partial(_encode_from_skeleton, cfg=cfg),
+        in_axes=(None, None, 0, 0, 0, 0),
+    )(ae_params, prob_params, pc01, sampled, center, longest)
+
+
+def encode_cloud(ae_params, prob_params, pc, fps_start, *, cfg: CodecConfig):
+    """Single-cloud analysis transform [N, 3] (compress.py:78-136)."""
+    res = encode_clouds(ae_params, prob_params, pc[None],
+                        fps_start[None] if hasattr(fps_start, "shape")
+                        else jnp.asarray([fps_start], jnp.int32), cfg=cfg)
+    return jax.tree.map(lambda x: x[0], res)
 
 
 def skeleton_cdf(prob_params, rec_xyz, *, cfg: CodecConfig):
@@ -140,11 +161,7 @@ class Codec:
         if N not in self._encode_cache:
             cfg = self.cfg.with_n(N)
             self._encode_cache[N] = jax.jit(
-                jax.vmap(
-                    functools.partial(encode_cloud, cfg=cfg),
-                    in_axes=(None, None, 0, 0),
-                )
-            )
+                functools.partial(encode_clouds, cfg=cfg))
         return self._encode_cache[N]
 
     def _decode_fns(self, S: int):

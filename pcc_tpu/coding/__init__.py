@@ -1,4 +1,9 @@
-from pcc_tpu.coding.octree import morton_encode, morton_decode, octree_analyze
+from pcc_tpu.coding.octree import (
+    morton_encode,
+    morton_decode,
+    octree_analyze,
+    voxel_snap,
+)
 from pcc_tpu.coding.octree_host import (
     emit_octree_bits,
     parse_octree_bits,
@@ -12,6 +17,7 @@ __all__ = [
     "morton_encode",
     "morton_decode",
     "octree_analyze",
+    "voxel_snap",
     "emit_octree_bits",
     "parse_octree_bits",
     "pack_bits",

@@ -77,6 +77,14 @@ def morton_decode(codes: jnp.ndarray, depth: int) -> jnp.ndarray:
     return (coords + 0.5) * inv
 
 
+def voxel_snap(pc01: jnp.ndarray, depth: int) -> jnp.ndarray:
+    """Snap points to their voxel centers at `depth` — the device mirror of
+    the reference's getDecodeFromPc (octree_np.py:114-133), without the
+    host-side dedupe. [..., 3] -> [..., 3]."""
+    reso = 1.0 / float(1 << depth)
+    return (jnp.floor(pc01 / reso) + 0.5) * reso
+
+
 class OctreeResult(NamedTuple):
     rec_xyz: jnp.ndarray        # [S, 3] decoded voxel centers, descending Morton order
     depth: jnp.ndarray          # scalar int32 chosen depth
@@ -87,15 +95,18 @@ class OctreeResult(NamedTuple):
 def octree_analyze(
     sampled01: jnp.ndarray,
     N: int,
-    min_bpp: float,
+    min_bpp: float | None,
     max_depth: int = MAX_OCTREE_DEPTH,
+    start_depth: int = 1,
 ) -> OctreeResult:
     """Adaptive-depth octree analysis for one skeleton.
 
-    Chooses the first depth where bits/N > min_bpp AND the voxelization is
-    lossless (unique voxel per point — the pc_rec.shape == pc.shape condition
-    of pn_kit.py:393); falls back to max_depth. Returns decoded centers at
-    the chosen depth in the reference's emission order.
+    Chooses the first depth >= start_depth where bits/N > min_bpp (skip the
+    rate condition with min_bpp=None) AND the voxelization is lossless
+    (unique voxel per point — the pc_rec.shape == pc.shape condition of
+    pn_kit.py:393); falls back to max_depth. Returns decoded centers at the
+    chosen depth in the reference's emission order. start_depth > 1 with
+    min_bpp=None reproduces encode_sampled_np_depth (pn_kit.py:403-422).
 
     Args:
       sampled01: [S, 3] skeleton points in the unit cube.
@@ -120,7 +131,13 @@ def octree_analyze(
     # total bits if coded at depth d (d = 1..max_depth): 1 + 8 * sum_{l<d}
     bits_per_depth = 1 + 8 * csum[:-1]            # index d-1 <-> depth d
     lossless = uniqs[1:] == S                     # index d-1 <-> depth d
-    cond = (bits_per_depth.astype(jnp.float32) / float(N) > float(min_bpp)) & lossless
+    cond = lossless
+    if min_bpp is not None:
+        cond = cond & (
+            bits_per_depth.astype(jnp.float32) / float(N) > float(min_bpp))
+    if start_depth > 1:
+        depths = jnp.arange(1, max_depth + 1)
+        cond = cond & (depths >= start_depth)
     idx = jnp.where(jnp.any(cond), jnp.argmax(cond), max_depth - 1).astype(jnp.int32)
 
     centers_all = jnp.stack(

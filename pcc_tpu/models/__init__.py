@@ -1,4 +1,5 @@
 from pcc_tpu.models.layers import (
+    CMLP,
     PointwiseMLP,
     PointNetFeat,
     SetAbstraction,
@@ -7,8 +8,24 @@ from pcc_tpu.models.layers import (
 )
 from pcc_tpu.models.ipdae import PatchAE, ConditionalProbabilityModel
 from pcc_tpu.models.losses import rate_distortion_loss
+from pcc_tpu.models.pppf import (
+    FoldingNet,
+    PointNetPP,
+    PointnetSAModule,
+    PPPF_AE,
+    PPPFConditionalProbabilityModel,
+)
+from pcc_tpu.models.pppe import (
+    PCNDecoderSmall,
+    PointCloudAE,
+    PointNet2EncoderFull,
+    PPPEConditionalProbabilityModel,
+    estimate_bits_per_point_conditional,
+    quantize_st,
+)
 
 __all__ = [
+    "CMLP",
     "PointwiseMLP",
     "PointNetFeat",
     "SetAbstraction",
@@ -17,4 +34,15 @@ __all__ = [
     "PatchAE",
     "ConditionalProbabilityModel",
     "rate_distortion_loss",
+    "FoldingNet",
+    "PointNetPP",
+    "PointnetSAModule",
+    "PPPF_AE",
+    "PPPFConditionalProbabilityModel",
+    "PCNDecoderSmall",
+    "PointCloudAE",
+    "PointNet2EncoderFull",
+    "PPPEConditionalProbabilityModel",
+    "estimate_bits_per_point_conditional",
+    "quantize_st",
 ]

@@ -74,6 +74,30 @@ class PointNetFeat(nn.Module):
         return jnp.max(x, axis=-2)
 
 
+class CMLP(nn.Module):
+    """Concatenated-max MLP: per-stage max pools concatenated into one
+    feature vector (reference pn_kit.py:213-261). Unused by the reference
+    CLIs; provided for API parity. [B, N, C] -> [B, sum(features)]."""
+
+    features: Sequence[int]
+    relu: Sequence[bool] | None = None
+    use_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        relu = self.relu if self.relu is not None else [True] * len(self.features)
+        pools = []
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, name=f"dense_{i}")(x)
+            if self.use_bn:
+                x = nn.BatchNorm(use_running_average=not train, axis=-1,
+                                 name=f"bn_{i}")(x)
+            if relu[i]:
+                x = nn.relu(x)
+            pools.append(jnp.max(x, axis=-2))
+        return jnp.concatenate(pools, axis=-1)
+
+
 class SetAbstraction(nn.Module):
     """Per-point local-feature layer via KNN grouping.
 

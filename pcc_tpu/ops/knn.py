@@ -32,8 +32,17 @@ def knn_points(query: jnp.ndarray, points: jnp.ndarray, K: int, return_nn: bool 
       (dists [B, S, K] squared, idx [B, S, K] int32, nn [B, S, K, 3] or None)
       — the pytorch3d `knn_points` contract the reference relies on.
     """
+    N = points.shape[-2]
     d = sq_dists(query, points)
-    _, idx = jax.lax.top_k(-d, K)
+    if K > N:
+        # fewer points than requested neighbors: pad with index 0, the same
+        # contract as pytorch3d's -1 padding after the reference's clamp
+        # (pointnet_sa_module.py:27)
+        _, idx = jax.lax.top_k(-d, N)
+        pad = jnp.zeros(idx.shape[:-1] + (K - N,), idx.dtype)
+        idx = jnp.concatenate([idx, pad], axis=-1)
+    else:
+        _, idx = jax.lax.top_k(-d, K)
     idx = idx.astype(jnp.int32)
     nn = knn_gather(points, idx)
     # The expanded q2 - 2qp + p2 form is ideal for selection (the cross term

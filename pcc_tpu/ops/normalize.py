@@ -30,3 +30,25 @@ def denormalize(pc01: jnp.ndarray, center: jnp.ndarray, longest: jnp.ndarray,
                 margin: float = 0.01) -> jnp.ndarray:
     """Exact inverse of `normalize` (reference pn_kit.py:62-66)."""
     return (pc01 - 0.5) * longest / (1.0 - margin) + center
+
+
+def n_scale_batch(batch_pc: jnp.ndarray, margin: float = 0.01):
+    """Batch scale-only normalization (reference pn_kit.py:68-87: centering
+    is commented out there, so this scales each cloud by
+    (1-margin)/longest-extent without recentring). Unused by the CLIs in
+    the reference; provided for API parity.
+
+    Args:
+      batch_pc: [B, N, 3].
+    Returns:
+      (scaled [B, N, 3], scaling [B]).
+    """
+    extent = jnp.max(batch_pc, axis=1) - jnp.min(batch_pc, axis=1)  # [B, 3]
+    longest = jnp.max(extent, axis=-1)                              # [B]
+    scaling = (1.0 - margin) / longest
+    return batch_pc * scaling[:, None, None], scaling
+
+
+def d_n_scale_batch(batch_pc: jnp.ndarray, scaling: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of n_scale_batch (reference pn_kit.py:89-95)."""
+    return batch_pc / scaling[:, None, None]

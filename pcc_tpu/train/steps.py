@@ -22,7 +22,7 @@ from pcc_tpu.codec import make_models
 from pcc_tpu.config import CodecConfig
 from pcc_tpu.models.ipdae import PatchAE
 from pcc_tpu.models.losses import rate_distortion_loss
-from pcc_tpu.ops.fps import farthest_point_sample
+from pcc_tpu.ops.fps import fps_batch
 from pcc_tpu.ops.knn import knn_points
 from pcc_tpu.ops.normalize import normalize
 
@@ -48,7 +48,7 @@ def rd_forward(params, batch, key, lam, *, cfg: CodecConfig,
     pc01, _, _ = jax.vmap(functools.partial(normalize, margin=cfg.margin))(batch)
 
     starts = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
-    idx = jax.vmap(farthest_point_sample, in_axes=(0, None, 0))(pc01, cfg.S, starts)
+    idx = fps_batch(pc01, cfg.S, starts)
     sampled = jnp.take_along_axis(pc01, idx[..., None], axis=1)      # [B, S, 3]
 
     octree = jax.vmap(

@@ -9,9 +9,23 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Keep test compiles fully local: the axon remote-compile service also
+# intercepts CPU compiles, and its AOT results can deadlock / SIGILL when
+# reloaded on this host.
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 
 import numpy as np
 import pytest
+
+# Persistent compile cache makes repeat suite runs compile-free.
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture

@@ -1,0 +1,133 @@
+import os
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcc_tpu.config import PPPEConfig
+from pcc_tpu.models.pppe import (
+    PointCloudAE,
+    estimate_bits_per_point_conditional,
+    quantize_st,
+)
+
+CFG = PPPEConfig(N=256, latent_dim=16, L=7)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = PointCloudAE(latent_dim=CFG.latent_dim, latent_bins=CFG.L,
+                         npoints=CFG.N)
+    x = jnp.zeros((2, CFG.N, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x, method=PointCloudAE.init_all)
+    return model, variables
+
+
+def test_quantize_st_range_and_gradient():
+    x = jnp.linspace(-5, 20, 101)
+    y = np.asarray(quantize_st(x, 0.0, 6.0, 7))
+    assert y.min() >= 0 and y.max() <= 6
+    assert np.allclose(y, np.round(y))  # integer-valued forward
+    g = jax.grad(lambda v: jnp.sum(quantize_st(v, 0.0, 6.0, 7)))(
+        jnp.array([2.3]))
+    assert float(g[0]) != 0.0  # STE passes gradient inside the clamp range
+
+
+def test_pppe_forward_shapes(model_and_vars, rng):
+    model, variables = model_and_vars
+    x = jnp.asarray(rng.random((2, CFG.N, 3)).astype(np.float32))
+    (coarse, fine, cond_feats, y_q), _ = model.apply(
+        variables, x, train=True, mutable=["batch_stats"])
+    assert coarse.shape == (2, 512, 3)
+    assert fine.shape == (2, CFG.N, 3)
+    assert cond_feats.shape == (2, 512)
+    assert y_q.shape == (2, CFG.latent_dim, CFG.N)
+    yq = np.asarray(y_q)
+    assert yq.min() >= 0 and yq.max() <= CFG.L - 1
+
+
+def test_pppe_rate_estimate_detached(model_and_vars, rng):
+    model, variables = model_and_vars
+    x = jnp.asarray(rng.random((1, CFG.N, 3)).astype(np.float32))
+    coarse, fine, cond_feats, y_q = model.apply(variables, x)
+    fbpp = estimate_bits_per_point_conditional(variables, model, y_q, cond_feats)
+    assert np.isfinite(float(fbpp)) and float(fbpp) > 0
+
+    # the rate term must carry no gradient (pppe_pcd_ae.py:889,917)
+    def rate_only(params):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        c, f, cf, yq = model.apply(v, x)
+        return estimate_bits_per_point_conditional(v, model, yq, cf)
+
+    g = jax.grad(rate_only)(variables["params"])
+    assert all(np.allclose(np.asarray(leaf), 0) for leaf in jax.tree.leaves(g))
+
+
+def test_pppe_train_step_runs(rng):
+    from pcc_tpu.train.steps_pppe import (
+        build_pppe_train_step, cosine_epoch_lr, create_pppe_state,
+        make_pppe_optimizer, set_lr)
+
+    tx = make_pppe_optimizer(1e-3)
+    state = create_pppe_state(jax.random.key(0), CFG, tx)
+    step = build_pppe_train_step(CFG, tx)
+    batch = jnp.asarray(rng.random((2, CFG.N, 3)).astype(np.float32))
+    state, aux = step(state, batch, 0.5)
+    assert np.isfinite(float(aux["loss"]))
+    assert not bool(aux["skipped"])
+    # cosine schedule: epoch 0 = base lr, epoch 100 = ~0
+    assert cosine_epoch_lr(1e-3, 0) == pytest.approx(1e-3)
+    assert cosine_epoch_lr(1e-3, 100) == pytest.approx(0.0, abs=1e-12)
+    state = set_lr(state, cosine_epoch_lr(1e-3, 50))
+    state, aux = step(state, batch, 1.0)
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_pppe_nan_skip(rng):
+    from pcc_tpu.train.steps_pppe import (
+        build_pppe_train_step, create_pppe_state, make_pppe_optimizer)
+
+    tx = make_pppe_optimizer(1e-3)
+    state = create_pppe_state(jax.random.key(0), CFG, tx)
+    step = build_pppe_train_step(CFG, tx)
+    bad = jnp.full((2, CFG.N, 3), jnp.nan)
+    new_state, aux = step(state, bad, 0.0)
+    assert bool(aux["skipped"])
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pppe_checkpoint_roundtrip(tmp_path):
+    from pcc_tpu.train.checkpoint import (
+        load_pppe_checkpoint, save_pppe_checkpoint)
+    from pcc_tpu.train.steps_pppe import (
+        create_pppe_state, make_pppe_optimizer)
+
+    tx = make_pppe_optimizer(1e-3)
+    state = create_pppe_state(jax.random.key(3), CFG, tx)
+    save_pppe_checkpoint(str(tmp_path), state, 7, best=False)
+    save_pppe_checkpoint(str(tmp_path), state, 7, best=True)
+    assert os.path.exists(tmp_path / "ae_latest.pkl")
+    assert os.path.exists(tmp_path / "ae_best.pkl")
+
+    fresh = create_pppe_state(jax.random.key(9), CFG, tx)
+    loaded, start = load_pppe_checkpoint(str(tmp_path), fresh)
+    assert start == 8
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(loaded.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pppe_binary_format(tmp_path):
+    from pcc_tpu.cli.pppe_pcd_compress import save_binary
+    from pcc_tpu.cli.pppe_pcd_decompress import load_binary
+
+    latent = np.arange(16, dtype=np.float32)
+    path = str(tmp_path / "x.bin")
+    save_binary(latent, path)
+    with open(path, "rb") as f:
+        n = struct.unpack("I", f.read(4))[0]
+    assert n == 16
+    back = load_binary(path)
+    np.testing.assert_array_equal(back, latent[None])
