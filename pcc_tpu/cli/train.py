@@ -124,10 +124,16 @@ def main(argv=None):
             state, aux = train_step(state, batch, sub, lam)
             global_step += 1
 
-            window["loss"].append(float(aux["loss"]))
-            window["fbpp"].append(float(aux["true_fbpp"]))
-            window["bpp"].append(float(aux["bpp"]))
+            # keep aux as device arrays — converting every step would sync
+            # the async dispatch pipeline; materialize once per window
+            window["loss"].append(aux["loss"])
+            window["fbpp"].append(aux["true_fbpp"])
+            window["bpp"].append(aux["bpp"])
             if global_step % args.step_window == 0:
+                # one stacked transfer per window: pulling each scalar
+                # separately costs a full host<->device round trip apiece
+                import jax.numpy as jnp
+                window = {k: np.asarray(jnp.stack(v)) for k, v in window.items()}
                 dt = time.time() - t_window
                 print(
                     f"[Epoch {epoch}] Step {global_step} | "

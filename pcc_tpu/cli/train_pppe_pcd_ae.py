@@ -105,7 +105,7 @@ def main(argv=None):
     B = args.batch_size
     global_step = start_step
     best_loss = float("inf")
-    window = {"loss": [], "dist": [], "rate": []}
+    window = {"loss": [], "dist": [], "rate": [], "skipped": []}
     t_window = time.time()
 
     for epoch in range(10**9):
@@ -117,16 +117,22 @@ def main(argv=None):
             batch = points[order[lo : lo + B]]
             lam_eff = 1.0 * min(1.0, global_step / max(1, args.warmup_steps))
             state, aux = train_step(state, batch, lam_eff)
-            if bool(aux["skipped"]):
-                print(f"[Warning] Loss anomaly detected: {float(aux['loss']):.4f}")
-                continue
+            # The NaN/Inf skip is enforced *inside* the jitted step (the
+            # update is zeroed); checking the flag per step here would sync
+            # the dispatch pipeline, so anomalies are reported per window.
             global_step += 1
-            window["loss"].append(float(aux["loss"]))
-            window["dist"].append(float(aux["dist"]))
-            window["rate"].append(float(aux["rate"]))
+            window["loss"].append(aux["loss"])
+            window["dist"].append(aux["dist"])
+            window["rate"].append(aux["rate"])
+            window["skipped"].append(aux["skipped"])
 
             if global_step % args.step_window == 0:
-                avg = {k: float(np.mean(v)) for k, v in window.items()}
+                import jax.numpy as jnp
+                vals = {k: np.asarray(jnp.stack(v)) for k, v in window.items()}
+                n_skip = int(vals.pop("skipped").sum())
+                if n_skip:
+                    print(f"[Warning] {n_skip} loss anomalies in window")
+                avg = {k: float(np.mean(v)) for k, v in vals.items()}
                 if avg["loss"] < best_loss:
                     best_loss = avg["loss"]
                     save_pppe_checkpoint(args.model_save_folder, state,
@@ -136,7 +142,7 @@ def main(argv=None):
                       f"Loss: {avg['loss']:.5f} | Dist: {avg['dist']:.5f} | "
                       f"Rate: {avg['rate']:.5f} | "
                       f"{args.step_window / dt:.2f} steps/s")
-                window = {"loss": [], "dist": [], "rate": []}
+                window = {"loss": [], "dist": [], "rate": [], "skipped": []}
                 t_window = time.time()
                 save_pppe_checkpoint(args.model_save_folder, state, global_step)
         if global_step >= args.max_steps:

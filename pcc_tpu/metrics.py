@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcc_tpu.ops.chamfer import chamfer_distance, min_sq_dists
+from pcc_tpu.ops.chamfer import chamfer_distance, min_sq_dists, nearest_neighbor
 from pcc_tpu.ops.knn import knn_points
 from pcc_tpu.ops.normals import estimate_normals
 
@@ -24,9 +24,9 @@ from pcc_tpu.ops.normals import estimate_normals
 @functools.partial(jax.jit, static_argnames=("normal_knn",))
 def _d1_d2_device(orig: jnp.ndarray, recon: jnp.ndarray, normal_knn: int = 30):
     normals = estimate_normals(orig, knn=normal_knn)
-    _, idx, nn = knn_points(recon[None], orig[None], K=1, return_nn=True)
-    nearest = nn[0, :, 0, :]                       # [M, 3]
-    normal = normals[idx[0, :, 0]]                 # [M, 3]
+    _, idx = nearest_neighbor(recon, orig)         # exact 1-NN
+    nearest = orig[idx]                            # [M, 3]
+    normal = normals[idx]                          # [M, 3]
     diff = recon - nearest
     p2point_mse = jnp.mean(jnp.sum(diff**2, axis=-1))
     p2plane_mse = jnp.mean(jnp.sum(diff * normal, axis=-1) ** 2)

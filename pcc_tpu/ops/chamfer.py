@@ -43,6 +43,52 @@ def min_sq_dists(x: jnp.ndarray, y: jnp.ndarray, chunk: int = _CHUNK) -> jnp.nda
     return out
 
 
+def nearest_neighbor(x: jnp.ndarray, y: jnp.ndarray, chunk: int = _CHUNK):
+    """Exact 1-NN of each x in y via chunked direct differences.
+
+    The matmul-expansion KNN (ops.knn) can mis-pick between near-ties at
+    float32 precision, which matters for metrics (a point's nearest neighbor
+    in an identical cloud must be itself). Returns (min_sq_dist [S],
+    idx [S] int32).
+    """
+    N = y.shape[0]
+    if N <= chunk:
+        d = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1)
+        return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+    assert N % chunk == 0, f"N={N} must be a multiple of chunk={chunk}"
+    y_chunks = y.reshape(N // chunk, chunk, 3)
+
+    def body(carry, args):
+        best_d, best_i = carry
+        c, y_c = args
+        d = jnp.sum((x[:, None, :] - y_c[None, :, :]) ** 2, axis=-1)
+        d_min = jnp.min(d, axis=-1)
+        i_min = jnp.argmin(d, axis=-1).astype(jnp.int32) + c * chunk
+        take = d_min < best_d
+        return (jnp.where(take, d_min, best_d),
+                jnp.where(take, i_min, best_i)), None
+
+    init = (jnp.full((x.shape[0],), jnp.inf, dtype=x.dtype),
+            jnp.zeros((x.shape[0],), jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (jnp.arange(N // chunk), y_chunks))
+    return best_d, best_i
+
+
+def _directed_mean_sq(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """mean_i min_j |x_i - y_j|^2, differentiable w.r.t. both clouds.
+
+    The argmin search runs under stop_gradient (forward-only scan, no
+    per-chunk residuals saved for the backward pass — the naive version
+    OOMs at N=8192 batches), then the distance is recomputed through a
+    gather: d(min)/dx equals the gradient at the argmin, so this is exact.
+    """
+    _, idx = nearest_neighbor(jax.lax.stop_gradient(x),
+                              jax.lax.stop_gradient(y))
+    y_near = y[idx]
+    return jnp.mean(jnp.sum((x - y_near) ** 2, axis=-1))
+
+
 def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray):
     """Symmetric chamfer distance with pytorch3d semantics.
 
@@ -53,7 +99,6 @@ def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray):
     Args:
       x: [B, S, 3]; y: [B, N, 3].
     """
-    d_xy = jax.vmap(min_sq_dists)(x, y)   # [B, S]
-    d_yx = jax.vmap(min_sq_dists)(y, x)   # [B, N]
-    loss = jnp.mean(jnp.mean(d_xy, axis=-1) + jnp.mean(d_yx, axis=-1))
-    return loss, None
+    d_xy = jax.vmap(_directed_mean_sq)(x, y)   # [B]
+    d_yx = jax.vmap(_directed_mean_sq)(y, x)   # [B]
+    return jnp.mean(d_xy + d_yx), None

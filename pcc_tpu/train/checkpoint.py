@@ -19,6 +19,11 @@ import numpy as np
 
 
 def _to_numpy(tree):
+    # start all device->host copies before materializing any: fetching leaf
+    # by leaf pays a full round trip per array on remote-attached devices
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
     return jax.tree.map(np.asarray, tree)
 
 
