@@ -2,7 +2,14 @@ from pcc_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     replicate,
+    build_sharded_encode,
     build_sharded_train_step,
 )
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "build_sharded_train_step"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "build_sharded_encode",
+    "build_sharded_train_step",
+]

@@ -40,6 +40,24 @@ def replicate(mesh: Mesh, tree):
     return jax.device_put(tree, NamedSharding(mesh, P()))
 
 
+def build_sharded_encode(cfg: CodecConfig, mesh: Mesh, axis: str = "data"):
+    """Data-parallel batch compression: each chip encodes a shard of the
+    cloud batch (the multi-chip replacement for the reference's serial
+    per-cloud loop, compress.py:78-155). Params replicated, clouds and FPS
+    starts sharded; every field of the EncodeResult comes back sharded the
+    same way, so the host serializer just iterates."""
+    from pcc_tpu.codec import encode_clouds
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    return jax.jit(
+        functools.partial(encode_clouds, cfg=cfg),
+        in_shardings=(repl, repl, data, data),
+        out_shardings=data,
+    )
+
+
 def build_sharded_train_step(cfg: CodecConfig, tx, mesh: Mesh,
                              rate_mode: str = "reference", axis: str = "data"):
     """Data-parallel version of train.steps.build_train_step.

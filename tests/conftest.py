@@ -3,7 +3,7 @@ without TPU hardware. Must run before jax is imported anywhere."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the axon env presets this to the TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -24,6 +24,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend and overrides
+# jax_platforms at interpreter start; claw the selection back to CPU so the
+# suite really runs on the 8 virtual host devices.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
