@@ -15,6 +15,7 @@ from flax import linen as nn
 
 from pcc_tpu.models.layers import (
     PointNetFeat,
+    TorchDense,
     PointwiseMLP,
     SetAbstraction,
     sigmoid_spread,
@@ -39,7 +40,7 @@ class PatchAE(nn.Module):
         self.pn = PointNetFeat(
             features=(128, 256, 512, self.d), relu=(True, True, True, False)
         )
-        self.inv_pool = [nn.Dense(256), nn.Dense(1024), nn.Dense(self.k * 128)]
+        self.inv_pool = [TorchDense(256), TorchDense(1024), TorchDense(self.k * 128)]
         self.inv_mlp = PointwiseMLP(
             features=(128, 64, 32, 3), relu=(True, True, True, False)
         )

@@ -19,6 +19,37 @@ from flax import linen as nn
 from pcc_tpu.ops.knn import knn_points
 
 
+class TorchDense(nn.Module):
+    """Dense with torch nn.Linear/Conv default init: kernel AND bias drawn
+    from U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+
+    This is load-bearing, not cosmetic: at init the quantized latent rounds
+    to all-zeros (sigmoid_spread(~0) ~ 0), and with flax's zero-bias
+    default every decoder layer then outputs exactly 0 with relu'(0) = 0 —
+    a permanently dead network where only the final bias can learn. Torch's
+    nonzero bias init (what the reference trains with) keeps activations
+    alive at zero input.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        bound = float(x.shape[-1]) ** -0.5
+
+        def uniform_init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=uniform_init,
+            bias_init=uniform_init,
+            name="linear",
+        )(x)
+
+
 def ste_round(x: jnp.ndarray) -> jnp.ndarray:
     """Straight-through rounding: round in the forward pass, identity
     gradient (reference STEQuantize, AE.py:72-85)."""
@@ -48,7 +79,7 @@ class PointwiseMLP(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         relu = self.relu if self.relu is not None else [True] * len(self.features)
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = TorchDense(f, name=f"dense_{i}")(x)
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
@@ -88,7 +119,7 @@ class CMLP(nn.Module):
         relu = self.relu if self.relu is not None else [True] * len(self.features)
         pools = []
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"dense_{i}")(x)
+            x = TorchDense(f, name=f"dense_{i}")(x)
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not train, axis=-1,
                                  name=f"bn_{i}")(x)

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pcc_tpu.models.layers import PointwiseMLP
+from pcc_tpu.models.layers import PointwiseMLP, TorchDense
 from pcc_tpu.ops.fps import fps_batch
 from pcc_tpu.ops.knn import index_points, knn_points
 
@@ -106,11 +106,11 @@ class PointNet2EncoderFull(nn.Module):
             npoint=32, K=32, mlp=(256, 256, 512),
             use_bn=self.use_bn, name="sa3")(xyz, feat, train)
         global_feat = jnp.max(feat, axis=1)                  # [B, 512]
-        h = nn.Dense(512, use_bias=False, name="gc0")(global_feat)
+        h = TorchDense(512, use_bias=False, name="gc0")(global_feat)
         if self.use_bn:
             h = nn.BatchNorm(use_running_average=not train, name="gc_bn")(h)
         h = nn.relu(h)
-        latent = nn.Dense(self.latent_dim, name="gc1")(h)
+        latent = TorchDense(self.latent_dim, name="gc1")(h)
         return latent, global_feat
 
 
@@ -125,12 +125,12 @@ class PCNDecoderSmall(nn.Module):
     @nn.compact
     def __call__(self, latent):
         B = latent.shape[0]
-        h = nn.relu(nn.Dense(512, name="fc0")(latent))
-        coarse = nn.Dense(self.coarse_points * 3, name="fc1")(h)
+        h = nn.relu(TorchDense(512, name="fc0")(latent))
+        coarse = TorchDense(self.coarse_points * 3, name="fc1")(h)
         coarse = coarse.reshape(B, self.coarse_points, 3)
         expand_in = jnp.concatenate([coarse.reshape(B, -1), latent], axis=1)
-        h = nn.relu(nn.Dense(1024, name="exp0")(expand_in))
-        fine = nn.Dense(self.final_points * 3, name="exp1")(h)
+        h = nn.relu(TorchDense(1024, name="exp0")(expand_in))
+        fine = TorchDense(self.final_points * 3, name="exp1")(h)
         return coarse, fine.reshape(B, self.final_points, 3)
 
 
@@ -151,8 +151,8 @@ class PPPEConditionalProbabilityModel(nn.Module):
     def __call__(self, y, cond_feats):
         B, d, N = y.shape
         if cond_feats.ndim == 2:
-            h = nn.relu(nn.Dense(self.hidden_channels, name="cond0")(cond_feats))
-            cond = nn.Dense(self.hidden_channels, name="cond1")(h)
+            h = nn.relu(TorchDense(self.hidden_channels, name="cond0")(cond_feats))
+            cond = TorchDense(self.hidden_channels, name="cond1")(h)
             cond = jnp.repeat(cond[:, :, None], N, axis=2)   # [B, H, N]
         elif cond_feats.ndim == 3:
             cond = cond_feats
@@ -161,14 +161,14 @@ class PPPEConditionalProbabilityModel(nn.Module):
 
         x = jnp.concatenate([y, cond], axis=1)               # [B, d+H, N]
         x = jnp.swapaxes(x, 1, 2)                            # [B, N, d+H]
-        h = nn.Dense(self.hidden_channels, name="comb0")(x)
-        h = nn.Dense(self.hidden_channels, name="comb1")(nn.relu(h))
+        h = TorchDense(self.hidden_channels, name="comb0")(x)
+        h = TorchDense(self.hidden_channels, name="comb1")(nn.relu(h))
 
-        mean = jnp.swapaxes(nn.Dense(self.latent_channels, name="mean")(h), 1, 2)
+        mean = jnp.swapaxes(TorchDense(self.latent_channels, name="mean")(h), 1, 2)
         scale = jax.nn.softplus(
-            jnp.swapaxes(nn.Dense(self.latent_channels, name="scale")(h), 1, 2)
+            jnp.swapaxes(TorchDense(self.latent_channels, name="scale")(h), 1, 2)
         ) + 1e-6
-        pmf_logits = jnp.swapaxes(nn.Dense(self.latent_bins, name="pmf")(h), 1, 2)
+        pmf_logits = jnp.swapaxes(TorchDense(self.latent_bins, name="pmf")(h), 1, 2)
         pmf = jnp.clip(jax.nn.softmax(pmf_logits, axis=1), 1e-9)
         return mean, scale, pmf
 

@@ -13,7 +13,7 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pcc_tpu.models.layers import PointwiseMLP, sigmoid_spread, ste_round
+from pcc_tpu.models.layers import PointwiseMLP, TorchDense, sigmoid_spread, ste_round
 from pcc_tpu.ops.fps import fps_batch
 from pcc_tpu.ops.knn import ball_query, knn_gather, index_points
 
@@ -123,8 +123,8 @@ class PPPF_AE(nn.Module):
         self.encoder = PointNetPP(points=self.K, feature_dim=self.dim)
         self.decoder = FoldingNet(points=self.K, grid_size=self.d,
                                   feature_dim=self.dim)
-        self.enc_proj = nn.Dense(self.d)
-        self.dec_proj = nn.Dense(self.dim)
+        self.enc_proj = TorchDense(self.d)
+        self.dec_proj = TorchDense(self.dim)
 
     def encode(self, xyz, train: bool = False):
         _, latent = self.encoder(xyz, train)

@@ -53,6 +53,31 @@ def test_cpm_outputs_valid_pmf(rng):
     np.testing.assert_allclose(pmf.sum(-1), 1.0, rtol=1e-5)
 
 
+def test_gradients_alive_at_init(rng):
+    """Regression: with flax's default zero-bias init, the quantized latent
+    rounds to all-zeros at init and the decoder is permanently dead
+    (relu'(0)=0 everywhere). TorchDense's uniform bias init must keep
+    gradients flowing to (almost) all AE leaves."""
+    import functools
+    from pcc_tpu.codec import init_params
+    from pcc_tpu.train.steps import rd_forward
+
+    ae_p, prob_p = init_params(jax.random.key(11), TINY)
+    params = {"ae": ae_p, "prob": prob_p}
+    pts = jnp.asarray(rng.random((2, TINY.N, 3)).astype(np.float32))
+    (_, _), grads = jax.value_and_grad(
+        functools.partial(rd_forward, cfg=TINY), has_aux=True
+    )(params, pts, jax.random.key(0), 0.0)
+    ae_leaves = [float(np.abs(g).max()) for g in jax.tree.leaves(grads["ae"])]
+    alive = sum(1 for x in ae_leaves if x > 0)
+    assert alive >= len(ae_leaves) - 2, f"dead AE gradients: {ae_leaves}"
+    # decoder output must be nonzero at init (zero-bias nets emit exactly 0)
+    ae, _ = __import__("pcc_tpu.codec", fromlist=["make_models"]).make_models(TINY)
+    patches = jnp.asarray(rng.standard_normal((4, TINY.K, 3)).astype(np.float32))
+    recon, _, _ = ae.apply(ae_p, patches)
+    assert float(jnp.abs(recon).max()) > 0
+
+
 def test_ipdae_train_step_decreases_loss(rng):
     from pcc_tpu.train.state import create_train_state, make_optimizer
     from pcc_tpu.train.steps import build_train_step
