@@ -12,7 +12,6 @@ import os
 import time
 from glob import glob
 
-import numpy as np
 
 from pcc_tpu.cli._common import setup_jax
 from pcc_tpu.cli.compress import load_codec

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pcc_tpu.ops.chamfer import chamfer_distance, min_sq_dists, nearest_neighbor
+from pcc_tpu.ops.chamfer import chamfer_distance, nearest_neighbor
 from pcc_tpu.ops.knn import knn_points
 from pcc_tpu.ops.normals import estimate_normals
 

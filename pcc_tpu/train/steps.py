@@ -20,7 +20,6 @@ from pcc_tpu.coding.octree import octree_analyze
 from pcc_tpu.coding.pmf import estimate_bits_from_pmf
 from pcc_tpu.codec import make_models
 from pcc_tpu.config import CodecConfig
-from pcc_tpu.models.ipdae import PatchAE
 from pcc_tpu.models.losses import rate_distortion_loss
 from pcc_tpu.ops.fps import fps_batch
 from pcc_tpu.ops.knn import knn_points

@@ -20,7 +20,6 @@ import optax
 from flax import struct
 
 from pcc_tpu.config import PPPEConfig
-from pcc_tpu.models.losses import rate_distortion_loss
 from pcc_tpu.models.pppe import (
     PointCloudAE,
     estimate_bits_per_point_conditional,

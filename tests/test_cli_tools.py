@@ -3,7 +3,6 @@ import os
 
 import numpy as np
 import pandas as pd
-import pytest
 
 from pcc_tpu.io import read_point_cloud, save_point_cloud
 

@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from pcc_tpu.config import CodecConfig
 from pcc_tpu.models.ipdae import PatchAE, ConditionalProbabilityModel

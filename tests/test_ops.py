@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from pcc_tpu.ops import (
     farthest_point_sample_batch,
