@@ -25,8 +25,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_baseline.json")
-BATCH = 16
-N_CLOUDS_TPU = 64
+BATCH = 128          # best single-chip batch (256 exceeds the TPU compiler)
+N_CLOUDS_TPU = 256
 N_CLOUDS_BASE = 2
 
 

@@ -34,7 +34,7 @@ def build_parser():
     p.add_argument("--d", type=int, default=16, help="Bottleneck size.")
     p.add_argument("--L", type=int, default=7, help="Quantization Level.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
-    p.add_argument("--batch_size", type=int, default=16,
+    p.add_argument("--batch_size", type=int, default=64,
                    help="Clouds per device dispatch.")
     return p
 
