@@ -68,11 +68,17 @@ def build_parser():
     p.add_argument("--rate_mode", default="reference", choices=["reference", "fixed"],
                    help="Rate-term normalization (see train/steps.py).")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    p.add_argument("--jax_debug_nans", action="store_true",
+                   help="Enable jax debug_nans (fail fast on NaN).")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from pcc_tpu.cli._common import setup_jax
+    setup_jax()
+    if args.jax_debug_nans:
+        jax.config.update("jax_debug_nans", True)
     cfg = CodecConfig(N=args.N, N0=args.N0, ALPHA=args.ALPHA, K=args.K,
                       d=args.d, L=args.L)
     print(f"Training {args.model} on {jax.devices()[0].platform}")
