@@ -265,26 +265,36 @@ class Codec:
 
         for S, idxs in by_s.items():
             cdf_fn, dec_fn = self._decode_fns(S)
-            for lo in range(0, len(idxs), self.batch_size):
-                batch_idx = idxs[lo : lo + self.batch_size]
+            batches = [
+                idxs[lo : lo + self.batch_size]
+                for lo in range(0, len(idxs), self.batch_size)
+            ]
+
+            def dispatch_cdf(batch_idx):
                 pad = self.batch_size - len(batch_idx)
                 idx_p = list(batch_idx) + [batch_idx[-1]] * pad
                 recs = jnp.asarray(np.stack([parsed[i][0] for i in idx_p]))
-                cdfs = np.asarray(cdf_fn(self.prob_params, recs), dtype=np.float64)
+                return idx_p, recs, cdf_fn(self.prob_params, recs)
+
+            pending = dispatch_cdf(batches[0])
+            for b, batch_idx in enumerate(batches):
+                idx_p, recs, cdfs_dev = pending
+                if b + 1 < len(batches):
+                    pending = dispatch_cdf(batches[b + 1])  # overlap device work
+                cdfs = np.asarray(cdfs_dev, dtype=np.float64)
                 syms = np.stack([
                     rangecoder.decode_float_cdf(cdfs[j], streams[i][0])
                     .astype(np.int32)
                     for j, i in enumerate(idx_p)
                 ])
                 headers = np.stack([parsed[i][1] for i in idx_p])
-                pcs = dec_fn(
+                pcs = np.asarray(dec_fn(
                     self.ae_params,
                     jnp.asarray(syms),
                     recs,
                     jnp.asarray(headers[:, :3]),
                     jnp.asarray(headers[:, 3]),
-                )
-                pcs = np.asarray(pcs)
+                ))
                 for j, i in enumerate(batch_idx):
                     results[i] = pcs[j]
         return results

@@ -88,9 +88,10 @@ def rd_forward(params, batch, key, lam, *, cfg: CodecConfig,
 
 
 def build_train_step(cfg: CodecConfig, tx, rate_mode: str = "reference"):
-    """Returns jitted (state, batch [B,N,3], key, lam) -> (state, metrics)."""
+    """Returns jitted (state, batch [B,N,3], key, lam) -> (state, metrics).
+    The incoming state's buffers are donated to the update."""
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, key, lam):
         grad_fn = jax.value_and_grad(
             functools.partial(rd_forward, cfg=cfg, rate_mode=rate_mode),

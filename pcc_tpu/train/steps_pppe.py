@@ -103,7 +103,7 @@ def pppe_forward(params, batch_stats, batch, lam_eff, *, cfg: PPPEConfig,
 
 
 def build_pppe_train_step(cfg: PPPEConfig, tx):
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, lam_eff):
         grad_fn = jax.value_and_grad(
             functools.partial(pppe_forward, cfg=cfg), has_aux=True)

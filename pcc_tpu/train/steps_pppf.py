@@ -132,7 +132,7 @@ def pppf_forward(params, batch_stats, batch, key, lam, *, cfg: CodecConfig,
 
 
 def build_pppf_train_step(cfg: CodecConfig, tx, rate_mode: str = "reference"):
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, key, lam):
         grad_fn = jax.value_and_grad(
             functools.partial(pppf_forward, cfg=cfg, rate_mode=rate_mode),

@@ -116,10 +116,11 @@ def test_pppf_forward_and_train_step(rng):
     batch = jnp.asarray(rng.random((2, cfg.N, 3)).astype(np.float32))
     state, aux = step(state, batch, jax.random.key(1), 0.0)
     assert np.isfinite(float(aux["loss"]))
+    # the step donates its input state: snapshot before stepping again
+    s0 = [np.asarray(x) for x in jax.tree.leaves(state.batch_stats)]
     state2, aux2 = step(state, batch, jax.random.key(2), 1e-6)
     assert np.isfinite(float(aux2["loss"]))
     # BN stats actually update
-    s0 = jax.tree.leaves(state.batch_stats)
     s2 = jax.tree.leaves(state2.batch_stats)
     assert any(not np.allclose(a, b) for a, b in zip(s0, s2))
 

@@ -93,10 +93,12 @@ def test_pppe_nan_skip(rng):
     state = create_pppe_state(jax.random.key(0), CFG, tx)
     step = build_pppe_train_step(CFG, tx)
     bad = jnp.full((2, CFG.N, 3), jnp.nan)
+    # the step donates its input state: snapshot before stepping
+    before = [np.asarray(x) for x in jax.tree.leaves(state.params)]
     new_state, aux = step(state, bad, 0.0)
     assert bool(aux["skipped"])
-    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(before, jax.tree.leaves(new_state.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
 
 
 def test_pppe_checkpoint_roundtrip(tmp_path):
