@@ -1,0 +1,324 @@
+"""XYZ+RGB attribute compression extension (stretch capability).
+
+The reference codes geometry only (pn_kit.py reads xyz, README.md). This
+module extends the patch pipeline with a parallel attribute stream using
+the same architecture pattern: per-patch color autoencoder conditioned on
+patch geometry, STE scalar quantization, and arithmetic coding under a
+skeleton-conditioned probability model — so the attribute stream is
+decodable from the transmitted skeleton + geometry alone, exactly like the
+latent stream.
+
+On-disk: a fourth stream {name}.a.bin alongside .p/.s/.c.bin.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pcc_tpu.codec import Codec, make_models
+from pcc_tpu.coding import rangecoder
+from pcc_tpu.coding.octree import octree_analyze
+from pcc_tpu.coding.octree_host import (
+    codes_to_points,
+    emit_octree_bits,
+    pack_bits,
+    parse_octree_bits,
+    unpack_bits,
+)
+from pcc_tpu.coding.pmf import estimate_bits_from_pmf, pmf_to_cdf
+from pcc_tpu.config import CodecConfig
+from pcc_tpu.models.ipdae import ConditionalProbabilityModel, PatchAE
+from pcc_tpu.models.layers import (
+    PointNetFeat,
+    PointwiseMLP,
+    sigmoid_spread,
+    ste_round,
+)
+from pcc_tpu.ops.chamfer import nearest_neighbor
+from pcc_tpu.ops.fps import fps_batch
+from pcc_tpu.ops.knn import knn_points
+from pcc_tpu.ops.normalize import denormalize, normalize
+
+
+class PatchAttrAE(nn.Module):
+    """Per-patch color autoencoder.
+
+    encode: centered patch xyz + rgb01 -> d_a-dim latent (spread for the
+    quantizer). decode: quantized latent + reconstructed patch xyz ->
+    rgb01 per output point (geometry-conditioned, so the decoder paints
+    the decoded patch without needing the original point positions).
+    """
+
+    d_a: int = 16
+    L: int = 7
+
+    def setup(self):
+        self.enc = PointNetFeat(
+            features=(64, 128, 256, self.d_a), relu=(True, True, True, False))
+        self.dec = PointwiseMLP(
+            features=(128, 64, 3), relu=(True, True, False))
+
+    def encode(self, patch_xyz: jnp.ndarray, rgb01: jnp.ndarray) -> jnp.ndarray:
+        """[B, K, 3] xyz + [B, K, 3] rgb01 -> [B, d_a] spread latent."""
+        latent = self.enc(jnp.concatenate([patch_xyz, rgb01], axis=-1))
+        return sigmoid_spread(latent, self.L)
+
+    def decode(self, latent_q: jnp.ndarray, patch_xyz: jnp.ndarray) -> jnp.ndarray:
+        """[B, d_a] + [B, k, 3] decoded patch xyz -> [B, k, 3] rgb01."""
+        k = patch_xyz.shape[1]
+        tiled = jnp.repeat(latent_q[:, None, :], k, axis=1)
+        out = self.dec(jnp.concatenate([patch_xyz, tiled], axis=-1))
+        return jax.nn.sigmoid(out)
+
+    def __call__(self, patch_xyz, rgb01, dec_xyz):
+        z = self.encode(patch_xyz, rgb01)
+        z_q = ste_round(z)
+        return self.decode(z_q, dec_xyz), z, z_q
+
+
+def make_attr_models(cfg: CodecConfig, d_a: int = 16):
+    attr = PatchAttrAE(d_a=d_a, L=cfg.L)
+    attr_prob = ConditionalProbabilityModel(d=d_a, L=cfg.L)
+    return attr, attr_prob
+
+
+def init_attr_params(key: jax.Array, cfg: CodecConfig, d_a: int = 16):
+    attr, attr_prob = make_attr_models(cfg, d_a)
+    k1, k2 = jax.random.split(key)
+    xyz = jnp.zeros((1, cfg.K, 3), jnp.float32)
+    dec_xyz = jnp.zeros((1, cfg.k, 3), jnp.float32)
+    attr_params = attr.init(k1, xyz, xyz, dec_xyz)
+    prob_params = attr_prob.init(k2, jnp.zeros((1, cfg.S, 3), jnp.float32))
+    return attr_params, prob_params
+
+
+class AttrEncodeResult(NamedTuple):
+    sym: jnp.ndarray          # [S, d] geometry symbols
+    cdf: jnp.ndarray          # [S, d, L+1]
+    asym: jnp.ndarray         # [S, d_a] attribute symbols
+    acdf: jnp.ndarray         # [S, d_a, L+1]
+    sorted_codes: jnp.ndarray
+    depth: jnp.ndarray
+    center: jnp.ndarray
+    longest: jnp.ndarray
+
+
+def _encode_one_attr(params, pc01, rgb01, sampled, center, longest, *,
+                     cfg: CodecConfig, d_a: int):
+    ae, prob = make_models(cfg)
+    attr, attr_prob = make_attr_models(cfg, d_a)
+    octree = octree_analyze(sampled, cfg.N, cfg.min_bpp, cfg.max_depth)
+    rec = octree.rec_xyz
+
+    _, knn_idx, grouped = knn_points(rec[None], pc01[None], K=cfg.K,
+                                     return_nn=True)
+    patches = (grouped[0] - rec[:, None, :]) * cfg.patch_scale
+    patch_rgb = rgb01[knn_idx[0]]                              # [S, K, 3]
+
+    latent = ae.apply(params["ae"], patches, method=PatchAE.encode)
+    sym = jnp.clip(jnp.round(latent) + cfg.L // 2, 0, cfg.L - 1).astype(jnp.int32)
+    cdf = pmf_to_cdf(prob.apply(params["prob"], rec[None])[0])
+
+    alat = attr.apply(params["attr"], patches, patch_rgb,
+                      method=PatchAttrAE.encode)
+    asym = jnp.clip(jnp.round(alat) + cfg.L // 2, 0, cfg.L - 1).astype(jnp.int32)
+    acdf = pmf_to_cdf(attr_prob.apply(params["attr_prob"], rec[None])[0])
+
+    return AttrEncodeResult(
+        sym=sym, cdf=cdf, asym=asym, acdf=acdf,
+        sorted_codes=octree.sorted_codes, depth=octree.depth,
+        center=center, longest=longest,
+    )
+
+
+def encode_clouds_attr(params, pcs, rgbs01, fps_starts, *, cfg: CodecConfig,
+                       d_a: int = 16) -> AttrEncodeResult:
+    """Batched geometry+attribute analysis transform."""
+    pc01, center, longest = jax.vmap(
+        functools.partial(normalize, margin=cfg.margin))(pcs)
+    idx = fps_batch(pc01, cfg.S, fps_starts)
+    sampled = jnp.take_along_axis(pc01, idx[..., None], axis=1)
+    return jax.vmap(
+        functools.partial(_encode_one_attr, cfg=cfg, d_a=d_a),
+        in_axes=(None, 0, 0, 0, 0, 0),
+    )(params, pc01, rgbs01, sampled, center, longest)
+
+
+def decode_cloud_attr(params, sym, asym, rec_xyz, center, longest, *,
+                      cfg: CodecConfig, d_a: int = 16):
+    """Symbols -> (cloud [S*k, 3], rgb01 [S*k, 3])."""
+    ae, _ = make_models(cfg)
+    attr, _ = make_attr_models(cfg, d_a)
+    latent_q = sym.astype(jnp.float32) - cfg.L // 2
+    patches = ae.apply(params["ae"], latent_q, method=PatchAE.decode)
+    alat_q = asym.astype(jnp.float32) - cfg.L // 2
+    # paint the decoded patch in its *scaled* frame (the encoder saw
+    # scaled patches too)
+    rgb01 = attr.apply(params["attr"], alat_q, patches,
+                       method=PatchAttrAE.decode)              # [S, k, 3]
+    patches = patches / cfg.patch_scale
+    pc01 = (patches + rec_xyz[:, None, :]).reshape(-1, 3)
+    return denormalize(pc01, center, longest, cfg.margin), rgb01.reshape(-1, 3)
+
+
+class AttrCodec:
+    """Geometry + attribute codec. Streams: (p, s, c, a) bytes."""
+
+    def __init__(self, cfg: CodecConfig, params, batch_size: int = 16,
+                 d_a: int = 16):
+        self.cfg = cfg
+        self.params = params  # {"ae","prob","attr","attr_prob"}
+        self.d_a = d_a
+        self.batch_size = batch_size
+        self._enc_cache = {}
+        self._dec_cache = {}
+
+    def _enc(self, N):
+        if N not in self._enc_cache:
+            cfg = self.cfg.with_n(N)
+            self._enc_cache[N] = jax.jit(functools.partial(
+                encode_clouds_attr, cfg=cfg, d_a=self.d_a))
+        return self._enc_cache[N]
+
+    def _dec(self, S):
+        if S not in self._dec_cache:
+            from pcc_tpu.codec import skeleton_cdf
+
+            cfg = self.cfg.with_n(S * self.cfg.k)
+            attr, attr_prob = make_attr_models(cfg, self.d_a)
+            cdf_fn = jax.jit(jax.vmap(
+                lambda pp, ap, rec: (
+                    pmf_to_cdf(make_models(cfg)[1].apply(pp, rec[None])[0]),
+                    pmf_to_cdf(attr_prob.apply(ap, rec[None])[0]),
+                ),
+                in_axes=(None, None, 0),
+            ))
+            dec_fn = jax.jit(jax.vmap(
+                functools.partial(decode_cloud_attr, cfg=cfg, d_a=self.d_a),
+                in_axes=(None, 0, 0, 0, 0, 0),
+            ))
+            self._dec_cache[S] = (cdf_fn, dec_fn)
+        return self._dec_cache[S]
+
+    def compress(self, pc: np.ndarray, rgb: np.ndarray, fps_start: int = 0):
+        """[N,3] float32 + [N,3] uint8 -> (p, s, c, a) bytes."""
+        cfg = self.cfg.with_n(int(pc.shape[0]))
+        enc = self._enc(cfg.N)
+        rgb01 = (np.asarray(rgb, np.float32) / 255.0)[None]
+        res = enc(self.params, jnp.asarray(pc[None]), jnp.asarray(rgb01),
+                  jnp.asarray([fps_start], jnp.int32))
+        take = lambda x: np.asarray(x)[0]
+        p = rangecoder.encode_float_cdf(
+            take(res.cdf).astype(np.float64), take(res.sym).astype(np.int16))
+        a = rangecoder.encode_float_cdf(
+            take(res.acdf).astype(np.float64), take(res.asym).astype(np.int16))
+        depth = int(take(res.depth))
+        codes = take(res.sorted_codes).astype(np.int64) >> (
+            3 * (cfg.max_depth - depth))
+        s = pack_bits(emit_octree_bits(codes, depth))
+        header = np.zeros(4, np.float32)
+        header[:3] = take(res.center)
+        header[3] = float(take(res.longest))
+        return p, s, header.tobytes(), a
+
+    def decompress(self, p_bytes, s_bytes, c_bytes, a_bytes):
+        """(p, s, c, a) -> (pc [M,3] float32, rgb [M,3] uint8)."""
+        codes, depth = parse_octree_bits(unpack_bits(s_bytes))
+        rec = codes_to_points(codes, depth)
+        S = rec.shape[0]
+        cdf_fn, dec_fn = self._dec(S)
+        cdf, acdf = cdf_fn(self.params["prob"], self.params["attr_prob"],
+                           jnp.asarray(rec[None]))
+        sym = rangecoder.decode_float_cdf(
+            np.asarray(cdf, np.float64)[0], p_bytes).astype(np.int32)
+        asym = rangecoder.decode_float_cdf(
+            np.asarray(acdf, np.float64)[0], a_bytes).astype(np.int32)
+        header = np.frombuffer(c_bytes, dtype=np.float32)
+        pc, rgb01 = dec_fn(
+            self.params, jnp.asarray(sym[None]), jnp.asarray(asym[None]),
+            jnp.asarray(rec[None]), jnp.asarray(header[:3][None]),
+            jnp.asarray(header[3][None]))
+        rgb = np.clip(np.asarray(rgb01)[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        return np.asarray(pc)[0], rgb
+
+
+# ---------------------------------------------------------------- training --
+
+def attr_rd_forward(params, batch, rgb_batch, key, lam, *, cfg: CodecConfig,
+                    d_a: int = 16, color_weight: float = 1.0):
+    """Joint geometry+attribute RD loss: chamfer + color MSE + lam*rate.
+
+    Color supervision: each reconstructed point is compared against the RGB
+    of its nearest input point (stop-gradient 1-NN, gather-based like the
+    chamfer gradient).
+    """
+    from pcc_tpu.models.losses import rate_distortion_loss
+
+    ae, prob = make_models(cfg)
+    attr, attr_prob = make_attr_models(cfg, d_a)
+    B, N, _ = batch.shape
+
+    pc01, _, _ = jax.vmap(functools.partial(normalize, margin=cfg.margin))(batch)
+    starts = jax.random.randint(key, (B,), 0, N, dtype=jnp.int32)
+    idx = fps_batch(pc01, cfg.S, starts)
+    sampled = jnp.take_along_axis(pc01, idx[..., None], axis=1)
+    octree = jax.vmap(functools.partial(
+        octree_analyze, N=cfg.N, min_bpp=cfg.min_bpp, max_depth=cfg.max_depth
+    ))(sampled)
+    rec = jax.lax.stop_gradient(octree.rec_xyz)
+
+    _, knn_idx, grouped = knn_points(rec, pc01, K=cfg.K, return_nn=True)
+    patches = (grouped - rec[:, :, None, :]) * cfg.patch_scale
+    patch_rgb = jax.vmap(lambda r, i: r[i])(rgb_batch, knn_idx)   # [B, S, K, 3]
+
+    flat_patches = patches.reshape(B * cfg.S, cfg.K, 3)
+    patches_pred, _, latent_q = ae.apply(params["ae"], flat_patches)
+    rgb_pred, _, alat_q = attr.apply(
+        params["attr"], flat_patches, patch_rgb.reshape(B * cfg.S, cfg.K, 3),
+        patches_pred)
+    patches_pred = patches_pred / cfg.patch_scale
+
+    pmf = prob.apply(params["prob"], rec)
+    apmf = attr_prob.apply(params["attr_prob"], rec)
+    sym = jnp.clip(latent_q.reshape(B, cfg.S, cfg.d) + cfg.L // 2,
+                   0, cfg.L - 1).astype(jnp.int32)
+    asym = jnp.clip(alat_q.reshape(B, cfg.S, d_a) + cfg.L // 2,
+                    0, cfg.L - 1).astype(jnp.int32)
+    bits = (estimate_bits_from_pmf(pmf, sym)
+            + estimate_bits_from_pmf(apmf, asym))
+    fbpp = bits / (B * N)
+
+    pc_pred = (patches_pred.reshape(B, cfg.S, cfg.k, 3)
+               + rec[:, :, None, :]).reshape(B, cfg.S * cfg.k, 3)
+    loss_geo, aux = rate_distortion_loss(pc_pred, pc01, fbpp, lam)
+
+    # color loss against nearest-input-point RGB
+    def per_cloud_color(pred_pts, pred_rgb, pts, rgb):
+        _, nn_idx = nearest_neighbor(jax.lax.stop_gradient(pred_pts), pts)
+        return jnp.mean((pred_rgb - rgb[nn_idx]) ** 2)
+
+    color = jnp.mean(jax.vmap(per_cloud_color)(
+        pc_pred, rgb_pred.reshape(B, cfg.S * cfg.k, 3), pc01, rgb_batch))
+    aux["color_mse"] = color
+    aux["bpp"] = (jnp.sum(octree.total_bits) + bits) / (B * N)
+    return loss_geo + color_weight * color, aux
+
+
+def build_attr_train_step(cfg: CodecConfig, tx, d_a: int = 16):
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rgb_batch, key, lam):
+        grad_fn = jax.value_and_grad(
+            functools.partial(attr_rd_forward, cfg=cfg, d_a=d_a),
+            has_aux=True)
+        (loss, aux), grads = grad_fn(state.params, batch, rgb_batch, key, lam)
+        new_state = state.apply_gradients(grads, tx)
+        aux["loss"] = loss
+        return new_state, aux
+
+    return train_step

@@ -41,6 +41,9 @@ def build_parser():
                    help="Clouds per device dispatch.")
     p.add_argument("--profile_dir", default=None,
                    help="Write a jax.profiler trace of the compress run here.")
+    p.add_argument("--attributes", action="store_true",
+                   help="Also compress RGB attributes into a {name}.a.bin "
+                        "stream (extension; the reference codes geometry only).")
     return p
 
 
@@ -66,6 +69,10 @@ def main(argv=None):
     files = sorted(glob(args.input_glob, recursive=True))
     if not files:
         raise SystemExit(f"no input files match {args.input_glob}")
+
+    if args.attributes:
+        return _compress_with_attributes(args, cfg, files)
+
     codec = load_codec(args.model_load_folder, cfg, args.seed,
                        batch_size=args.batch_size)
 
@@ -91,6 +98,59 @@ def main(argv=None):
             fo.write(c_bytes)
 
     print(f"Done! Execution time: {round(elapsed / len(files), 5)}s per point cloud.")
+
+
+def load_attr_codec(model_load_folder: str, cfg: CodecConfig, seed: int,
+                    d_a: int = 16):
+    """Assemble an AttrCodec from ae/prob/attr/attr_prob pickles, with
+    random-init fallback for missing pieces."""
+    import pickle
+
+    from pcc_tpu.attrib import AttrCodec, init_attr_params
+
+    ae_params, prob_params = load_inference_params(model_load_folder)
+    if ae_params is None:
+        print(f"WARNING: no ae.pkl/prob.pkl in {model_load_folder}; "
+              "using randomly initialized weights.")
+        ae_params, prob_params = init_params_cpu(seed, cfg)
+    attr_path = os.path.join(model_load_folder, "attr.pkl")
+    aprob_path = os.path.join(model_load_folder, "attr_prob.pkl")
+    if os.path.exists(attr_path) and os.path.exists(aprob_path):
+        with open(attr_path, "rb") as f:
+            attr_params = pickle.load(f)
+        with open(aprob_path, "rb") as f:
+            attr_prob_params = pickle.load(f)
+    else:
+        print(f"WARNING: no attr.pkl/attr_prob.pkl in {model_load_folder}; "
+              "using randomly initialized attribute weights.")
+        import jax
+        attr_params, attr_prob_params = init_attr_params(
+            jax.random.key(seed + 1), cfg, d_a)
+    params = {"ae": ae_params, "prob": prob_params,
+              "attr": attr_params, "attr_prob": attr_prob_params}
+    return AttrCodec(cfg, params, d_a=d_a)
+
+
+def _compress_with_attributes(args, cfg: CodecConfig, files):
+    from pcc_tpu.io.ply import read_point_cloud_attr
+
+    codec = load_attr_codec(args.model_load_folder, cfg, args.seed)
+    start = time.time()
+    n = 0
+    for f in files:
+        pc, rgb = read_point_cloud_attr(f)
+        if rgb is None:
+            print(f"skipping {f}: no RGB attributes")
+            continue
+        p, s, c, a = codec.compress(pc, rgb)
+        name = os.path.split(f)[1]
+        for ext, blob in ((".p.bin", p), (".s.bin", s), (".c.bin", c),
+                          (".a.bin", a)):
+            with open(os.path.join(args.compressed_path, name + ext), "wb") as fo:
+                fo.write(blob)
+        n += 1
+    if n:
+        print(f"Done! Execution time: {round((time.time()-start)/n, 5)}s per point cloud.")
 
 
 if __name__ == "__main__":

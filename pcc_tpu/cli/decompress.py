@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--batch_size", type=int, default=64,
                    help="Clouds per device dispatch.")
+    p.add_argument("--attributes", action="store_true",
+                   help="Decode {name}.a.bin RGB streams into colored .ply "
+                        "outputs (extension; the reference codes geometry only).")
     return p
 
 
@@ -51,6 +54,10 @@ def main(argv=None):
     files = sorted(glob(os.path.join(args.compressed_path, "*.s.bin")))
     if not files:
         raise SystemExit(f"no .s.bin files in {args.compressed_path}")
+
+    if args.attributes:
+        return _decompress_with_attributes(args, cfg, files)
+
     codec = load_codec(args.model_load_folder, cfg, args.seed,
                        batch_size=args.batch_size)
 
@@ -73,6 +80,33 @@ def main(argv=None):
         save_point_cloud(pc, name + ".bin.ply", path=args.decompressed_path)
 
     print(f"Done! Execution time: {round(elapsed / len(files), 5)}s per point cloud.")
+
+
+def _decompress_with_attributes(args, cfg: CodecConfig, files):
+    from pcc_tpu.cli.compress import load_attr_codec
+
+    codec = load_attr_codec(args.model_load_folder, cfg, args.seed)
+    start = time.time()
+    n = 0
+    for f in files:
+        name = os.path.split(f)[1][: -len(".s.bin")]
+        blobs = []
+        for ext in (".p.bin", ".s.bin", ".c.bin", ".a.bin"):
+            path = os.path.join(args.compressed_path, name + ext)
+            if not os.path.exists(path):
+                blobs = None
+                break
+            with open(path, "rb") as fi:
+                blobs.append(fi.read())
+        if blobs is None:
+            print(f"skipping {name}: missing attribute stream")
+            continue
+        pc, rgb = codec.decompress(*blobs)
+        save_point_cloud(pc, name + ".bin.ply", path=args.decompressed_path,
+                         rgb=rgb)
+        n += 1
+    if n:
+        print(f"Done! Execution time: {round((time.time()-start)/n, 5)}s per point cloud.")
 
 
 if __name__ == "__main__":

@@ -59,10 +59,23 @@ def _parse_header(f):
 
 def read_point_cloud(filepath: str) -> np.ndarray:
     """Read the vertex x/y/z columns of a .ply file as float32 [N, 3]."""
+    return _read_vertex_data(filepath, with_attributes=False)[0]
+
+
+def read_point_cloud_attr(filepath: str):
+    """Read xyz plus RGB attributes if present.
+
+    Returns (pc [N, 3] float32, rgb [N, 3] uint8 or None).
+    """
+    return _read_vertex_data(filepath, with_attributes=True)
+
+
+def _read_vertex_data(filepath: str, with_attributes: bool):
     with open(filepath, "rb") as f:
         fmt, elements = _parse_header(f)
         byte_order = {"binary_little_endian": "<", "binary_big_endian": ">"}.get(fmt, "")
         out = None
+        rgb = None
         for name, count, props in elements:
             if any(p[0] == "list" for p in props):
                 if name == "vertex":
@@ -92,9 +105,14 @@ def read_point_cloud(filepath: str) -> np.ndarray:
                         raise ValueError(f"vertex element missing {axis} column")
                     cols.append(np.asarray(data[col], dtype=np.float32))
                 out = np.stack(cols, axis=1)
+                if with_attributes and all(c in names for c in ("red", "green", "blue")):
+                    rgb = np.stack(
+                        [np.asarray(data[c]) for c in ("red", "green", "blue")],
+                        axis=1,
+                    ).astype(np.uint8)
         if out is None:
             raise ValueError("no vertex element in PLY file")
-        return out
+        return out, rgb
 
 
 def read_point_clouds(file_path_list, processes: int | None = None) -> np.ndarray:
@@ -110,14 +128,25 @@ def read_point_clouds(file_path_list, processes: int | None = None) -> np.ndarra
     return np.stack(pcs, axis=0)
 
 
-def save_point_cloud(pc: np.ndarray, filename: str, path: str = "./viewing/") -> str:
-    """Write [N, 3] float32 points as binary_little_endian PLY.
+def save_point_cloud(pc: np.ndarray, filename: str, path: str = "./viewing/",
+                     rgb: np.ndarray | None = None) -> str:
+    """Write [N, 3] float32 points (optionally + [N, 3] uint8 RGB) as
+    binary_little_endian PLY.
 
     Mirrors reference pn_kit.py:39-42 (directory + filename signature).
     """
     pc = np.ascontiguousarray(np.asarray(pc, dtype=np.float32).reshape(-1, 3))
     os.makedirs(path, exist_ok=True)
     out_path = os.path.join(path, filename)
+    attr_props = ""
+    if rgb is not None:
+        rgb = np.ascontiguousarray(np.asarray(rgb, dtype=np.uint8).reshape(-1, 3))
+        assert rgb.shape[0] == pc.shape[0]
+        attr_props = (
+            "property uchar red\n"
+            "property uchar green\n"
+            "property uchar blue\n"
+        )
     header = (
         "ply\n"
         "format binary_little_endian 1.0\n"
@@ -125,10 +154,19 @@ def save_point_cloud(pc: np.ndarray, filename: str, path: str = "./viewing/") ->
         "property float x\n"
         "property float y\n"
         "property float z\n"
+        f"{attr_props}"
         "end_header\n"
     )
     with open(out_path, "wb") as f:
         f.write(header.encode("ascii"))
-        rec = pc.astype("<f4")
-        f.write(rec.tobytes())
+        if rgb is None:
+            f.write(pc.astype("<f4").tobytes())
+        else:
+            rec = np.zeros(pc.shape[0], dtype=[
+                ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+            ])
+            rec["x"], rec["y"], rec["z"] = pc[:, 0], pc[:, 1], pc[:, 2]
+            rec["red"], rec["green"], rec["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+            f.write(rec.tobytes())
     return out_path
