@@ -25,20 +25,22 @@ def mesh():
 def test_sharded_train_step_matches_single_device(mesh, rng):
     tx = make_optimizer(1e-3, 0.1, 1000, 1000)
     state = create_train_state(jax.random.key(0), TINY, tx)
+    # independent identical state for the mesh run: the single-device step
+    # donates its input, and replicate() may alias the device-0 shard
+    stateN_src = create_train_state(jax.random.key(0), TINY, tx)
     batch = rng.random((8, TINY.N, 3)).astype(np.float32)
     key = jax.random.key(1)
+
+    stepN = build_sharded_train_step(TINY, tx, mesh)
+    stateN = replicate(mesh, stateN_src)
+    batchN = shard_batch(mesh, batch)
+    keyN = replicate(mesh, key)
 
     # single-device baseline
     from pcc_tpu.train.steps import build_train_step
 
     step1 = build_train_step(TINY, tx)
     _, aux1 = step1(state, jnp.asarray(batch), key, 1e-6)
-
-    # 8-way data-parallel
-    stepN = build_sharded_train_step(TINY, tx, mesh)
-    stateN = replicate(mesh, state)
-    batchN = shard_batch(mesh, batch)
-    keyN = replicate(mesh, key)
     with mesh:
         state2, auxN = stepN(stateN, batchN, keyN, 1e-6)
 
