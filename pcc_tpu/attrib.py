@@ -188,8 +188,6 @@ class AttrCodec:
 
     def _dec(self, S):
         if S not in self._dec_cache:
-            from pcc_tpu.codec import skeleton_cdf
-
             cfg = self.cfg.with_n(S * self.cfg.k)
             attr, attr_prob = make_attr_models(cfg, self.d_a)
             cdf_fn = jax.jit(jax.vmap(
