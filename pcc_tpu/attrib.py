@@ -100,19 +100,21 @@ def init_attr_params(key: jax.Array, cfg: CodecConfig, d_a: int = 16):
 
 class AttrEncodeResult(NamedTuple):
     sym: jnp.ndarray          # [S, d] geometry symbols
-    cdf: jnp.ndarray          # [S, d, L+1]
     asym: jnp.ndarray         # [S, d_a] attribute symbols
-    acdf: jnp.ndarray         # [S, d_a, L+1]
     sorted_codes: jnp.ndarray
     depth: jnp.ndarray
     center: jnp.ndarray
     longest: jnp.ndarray
+    rec_xyz: jnp.ndarray      # [S, 3] decoded skeleton (normalized coords)
 
 
 def _encode_one_attr(params, pc01, rgb01, sampled, center, longest, *,
                      cfg: CodecConfig, d_a: int):
-    ae, prob = make_models(cfg)
-    attr, attr_prob = make_attr_models(cfg, d_a)
+    # Coding CDFs are deliberately NOT computed here: AttrCodec.compress
+    # derives them through the same compiled program decompress uses, so the
+    # two sides cannot drift (see codec._encode_from_skeleton).
+    ae, _ = make_models(cfg)
+    attr, _ = make_attr_models(cfg, d_a)
     octree = octree_analyze(sampled, cfg.N, cfg.min_bpp, cfg.max_depth)
     rec = octree.rec_xyz
 
@@ -123,17 +125,15 @@ def _encode_one_attr(params, pc01, rgb01, sampled, center, longest, *,
 
     latent = ae.apply(params["ae"], patches, method=PatchAE.encode)
     sym = jnp.clip(jnp.round(latent) + cfg.L // 2, 0, cfg.L - 1).astype(jnp.int32)
-    cdf = pmf_to_cdf(prob.apply(params["prob"], rec[None])[0])
 
     alat = attr.apply(params["attr"], patches, patch_rgb,
                       method=PatchAttrAE.encode)
     asym = jnp.clip(jnp.round(alat) + cfg.L // 2, 0, cfg.L - 1).astype(jnp.int32)
-    acdf = pmf_to_cdf(attr_prob.apply(params["attr_prob"], rec[None])[0])
 
     return AttrEncodeResult(
-        sym=sym, cdf=cdf, asym=asym, acdf=acdf,
+        sym=sym, asym=asym,
         sorted_codes=octree.sorted_codes, depth=octree.depth,
-        center=center, longest=longest,
+        center=center, longest=longest, rec_xyz=rec,
     )
 
 
@@ -211,14 +211,25 @@ class AttrCodec:
         rgb01 = (np.asarray(rgb, np.float32) / 255.0)[None]
         res = enc(self.params, jnp.asarray(pc[None]), jnp.asarray(rgb01),
                   jnp.asarray([fps_start], jnp.int32))
+        # CDFs from the same compiled program the decoder runs
+        cdf_fn, _ = self._dec(cfg.S)
+        cdf, acdf = cdf_fn(self.params["prob"], self.params["attr_prob"],
+                           res.rec_xyz)
         take = lambda x: np.asarray(x)[0]
         p = rangecoder.encode_float_cdf(
-            take(res.cdf).astype(np.float64), take(res.sym).astype(np.int16))
+            take(cdf).astype(np.float64), take(res.sym).astype(np.int16))
         a = rangecoder.encode_float_cdf(
-            take(res.acdf).astype(np.float64), take(res.asym).astype(np.int16))
+            take(acdf).astype(np.float64), take(res.asym).astype(np.int16))
         depth = int(take(res.depth))
         codes = take(res.sorted_codes).astype(np.int64) >> (
             3 * (cfg.max_depth - depth))
+        if len(np.unique(codes)) != codes.shape[0]:
+            raise ValueError(
+                f"octree at depth {depth} maps {codes.shape[0]} skeleton "
+                f"points to {len(np.unique(codes))} distinct voxels "
+                "(coincident FPS points, no lossless depth); the stream "
+                "would be undecodable"
+            )
         s = pack_bits(emit_octree_bits(codes, depth))
         header = np.zeros(4, np.float32)
         header[:3] = take(res.center)

@@ -42,8 +42,10 @@ from pcc_tpu.ops.normalize import denormalize, normalize
 
 
 def make_models(cfg: CodecConfig):
-    ae = PatchAE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L, sa_knn=cfg.sa_knn)
-    prob = ConditionalProbabilityModel(d=cfg.d, L=cfg.L)
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    ae = PatchAE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L, sa_knn=cfg.sa_knn,
+                 dtype=dtype)
+    prob = ConditionalProbabilityModel(d=cfg.d, L=cfg.L, dtype=dtype)
     return ae, prob
 
 
@@ -57,7 +59,6 @@ def init_params(key: jax.Array, cfg: CodecConfig):
 
 class EncodeResult(NamedTuple):
     sym: jnp.ndarray          # [S, d] int32 symbols in [0, L)
-    cdf: jnp.ndarray          # [S, d, L+1] float cdf for the range coder
     sorted_codes: jnp.ndarray  # [S] int32 max-depth Morton codes (descending)
     depth: jnp.ndarray        # scalar int32
     skeleton_bits: jnp.ndarray  # scalar int32
@@ -68,8 +69,16 @@ class EncodeResult(NamedTuple):
 
 def _encode_from_skeleton(ae_params, prob_params, pc01, sampled, center,
                           longest, *, cfg: CodecConfig) -> EncodeResult:
-    """Per-cloud analysis transform after FPS (vmapped over the batch)."""
-    ae, prob = make_models(cfg)
+    """Per-cloud analysis transform after FPS (vmapped over the batch).
+
+    Deliberately does NOT compute the coding CDF: the range coder's CDF is
+    produced by the same compiled `skeleton_cdf` program on both the encode
+    and decode sides (see Codec.compress_many), so a float divergence
+    between two differently-fused XLA compilations can never desynchronize
+    the coder. rec_xyz itself is bit-exact across device and host: voxel
+    centers are (int + 0.5) * 2^-depth, exact dyadic float32 arithmetic.
+    """
+    ae, _ = make_models(cfg)
     octree = octree_analyze(sampled, cfg.N, cfg.min_bpp, cfg.max_depth)
 
     # Patches around the *decoded* skeleton (train.py:185-189) — the decoder
@@ -81,11 +90,8 @@ def _encode_from_skeleton(ae_params, prob_params, pc01, sampled, center,
     latent_q = jnp.round(latent)
     sym = jnp.clip(latent_q + cfg.L // 2, 0, cfg.L - 1).astype(jnp.int32)
 
-    pmf = prob.apply(prob_params, octree.rec_xyz[None])[0]            # [S, d, L]
-    cdf = pmf_to_cdf(pmf)
     return EncodeResult(
         sym=sym,
-        cdf=cdf,
         sorted_codes=octree.sorted_codes,
         depth=octree.depth,
         skeleton_bits=octree.total_bits,
@@ -207,6 +213,11 @@ class Codec:
         for N, idxs in by_n.items():
             enc = self._encode_fn(N)
             cfg = self.cfg.with_n(N)
+            # the coding CDF comes from the SAME compiled program decompress
+            # uses (skeleton_cdf over rec_xyz), so encoder and decoder CDFs
+            # are bit-identical by construction rather than by hoping two
+            # separately-fused XLA compilations agree at float32.
+            cdf_fn, _ = self._decode_fns(cfg.S)
             batches = [
                 idxs[lo : lo + self.batch_size]
                 for lo in range(0, len(idxs), self.batch_size)
@@ -219,16 +230,17 @@ class Codec:
                 idx_p = list(batch_idx) + [batch_idx[-1]] * pad
                 pcs = np.stack([clouds[i] for i in idx_p])
                 starts = np.asarray([fps_starts[i] for i in idx_p], np.int32)
-                return enc(self.ae_params, self.prob_params,
-                           jnp.asarray(pcs), jnp.asarray(starts))
+                res = enc(self.ae_params, self.prob_params,
+                          jnp.asarray(pcs), jnp.asarray(starts))
+                return res, cdf_fn(self.prob_params, res.rec_xyz)
 
             pending = dispatch(batches[0])
             for b, batch_idx in enumerate(batches):
-                res = pending
+                res, cdfs_dev = pending
                 if b + 1 < len(batches):
                     pending = dispatch(batches[b + 1])  # overlap device work
                 syms = np.asarray(res.sym, dtype=np.int16)
-                cdfs = np.asarray(res.cdf, dtype=np.float64)
+                cdfs = np.asarray(cdfs_dev, dtype=np.float64)
                 depths = np.asarray(res.depth)
                 all_codes = np.asarray(res.sorted_codes, dtype=np.int64)
                 centers = np.asarray(res.center)
@@ -237,6 +249,14 @@ class Codec:
                     p_bytes = rangecoder.encode_float_cdf(cdfs[j], syms[j])
                     depth = int(depths[j])
                     codes = all_codes[j] >> (3 * (cfg.max_depth - depth))
+                    if len(np.unique(codes)) != codes.shape[0]:
+                        raise ValueError(
+                            f"cloud {i}: octree at depth {depth} maps "
+                            f"{codes.shape[0]} skeleton points to "
+                            f"{len(np.unique(codes))} distinct voxels "
+                            "(coincident FPS points, no lossless depth); "
+                            "the stream would be undecodable"
+                        )
                     s_bytes = pack_bits(emit_octree_bits(codes, depth))
                     header = np.zeros(4, dtype=np.float32)
                     header[:3] = centers[j]

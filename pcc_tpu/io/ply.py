@@ -62,12 +62,27 @@ def read_point_cloud(filepath: str) -> np.ndarray:
     return _read_vertex_data(filepath, with_attributes=False)[0]
 
 
+_NORMAL_COLS = ("nx", "ny", "nz")
+
+
 def read_point_cloud_attr(filepath: str):
     """Read xyz plus RGB attributes if present.
 
     Returns (pc [N, 3] float32, rgb [N, 3] uint8 or None).
     """
-    return _read_vertex_data(filepath, with_attributes=True)
+    pc, rgb, _ = _read_vertex_data(filepath, with_attributes=True)
+    return pc, rgb
+
+
+def read_point_cloud_normals(filepath: str):
+    """Read xyz plus per-vertex normals if present (nx/ny/nz columns).
+
+    Returns (pc [N, 3] float32, normals [N, 3] float32 or None). The
+    reference's eval uses file normals when the PLY carries them instead of
+    re-estimating (eval.py:59-60).
+    """
+    pc, _, normals = _read_vertex_data(filepath, with_attributes=True)
+    return pc, normals
 
 
 def _read_vertex_data(filepath: str, with_attributes: bool):
@@ -76,15 +91,25 @@ def _read_vertex_data(filepath: str, with_attributes: bool):
         byte_order = {"binary_little_endian": "<", "binary_big_endian": ">"}.get(fmt, "")
         out = None
         rgb = None
+        normals = None
         for name, count, props in elements:
             if any(p[0] == "list" for p in props):
                 if name == "vertex":
                     raise ValueError("list properties on vertex element unsupported")
-                # Skip non-vertex list elements only in ascii mode (line-per-row);
-                # binary list elements after the vertex element need no skipping.
+                # ascii rows are line-delimited, so skipping is trivial; a
+                # binary list element has data-dependent row sizes, so if it
+                # precedes the vertex element we cannot locate the vertex
+                # bytes — fail loudly rather than parse garbage coordinates.
                 if fmt == "ascii":
                     for _ in range(count):
                         f.readline()
+                elif count > 0:
+                    if out is None:
+                        raise ValueError(
+                            f"binary list element '{name}' precedes the vertex "
+                            "element; cannot compute the vertex data offset"
+                        )
+                    break  # vertex already read; nothing after is locatable
                 continue
             dtype = np.dtype(
                 [(p[2], byte_order + _PLY_TYPES[p[1]]) if byte_order
@@ -110,9 +135,14 @@ def _read_vertex_data(filepath: str, with_attributes: bool):
                         [np.asarray(data[c]) for c in ("red", "green", "blue")],
                         axis=1,
                     ).astype(np.uint8)
+                if with_attributes and all(c in names for c in _NORMAL_COLS):
+                    normals = np.stack(
+                        [np.asarray(data[c], dtype=np.float32) for c in _NORMAL_COLS],
+                        axis=1,
+                    )
         if out is None:
             raise ValueError("no vertex element in PLY file")
-        return out, rgb
+        return out, rgb, normals
 
 
 def read_point_clouds(file_path_list, processes: int | None = None) -> np.ndarray:
@@ -129,44 +159,48 @@ def read_point_clouds(file_path_list, processes: int | None = None) -> np.ndarra
 
 
 def save_point_cloud(pc: np.ndarray, filename: str, path: str = "./viewing/",
-                     rgb: np.ndarray | None = None) -> str:
-    """Write [N, 3] float32 points (optionally + [N, 3] uint8 RGB) as
-    binary_little_endian PLY.
+                     rgb: np.ndarray | None = None,
+                     normals: np.ndarray | None = None) -> str:
+    """Write [N, 3] float32 points (optionally + [N, 3] uint8 RGB and/or
+    [N, 3] float32 normals) as binary_little_endian PLY.
 
     Mirrors reference pn_kit.py:39-42 (directory + filename signature).
     """
     pc = np.ascontiguousarray(np.asarray(pc, dtype=np.float32).reshape(-1, 3))
     os.makedirs(path, exist_ok=True)
     out_path = os.path.join(path, filename)
-    attr_props = ""
+    fields = [("x", "<f4"), ("y", "<f4"), ("z", "<f4")]
+    props = ["property float x", "property float y", "property float z"]
+    if normals is not None:
+        normals = np.ascontiguousarray(
+            np.asarray(normals, dtype=np.float32).reshape(-1, 3))
+        assert normals.shape[0] == pc.shape[0]
+        fields += [(c, "<f4") for c in _NORMAL_COLS]
+        props += [f"property float {c}" for c in _NORMAL_COLS]
     if rgb is not None:
         rgb = np.ascontiguousarray(np.asarray(rgb, dtype=np.uint8).reshape(-1, 3))
         assert rgb.shape[0] == pc.shape[0]
-        attr_props = (
-            "property uchar red\n"
-            "property uchar green\n"
-            "property uchar blue\n"
-        )
+        fields += [("red", "u1"), ("green", "u1"), ("blue", "u1")]
+        props += ["property uchar red", "property uchar green", "property uchar blue"]
     header = (
         "ply\n"
         "format binary_little_endian 1.0\n"
         f"element vertex {pc.shape[0]}\n"
-        "property float x\n"
-        "property float y\n"
-        "property float z\n"
-        f"{attr_props}"
+        + "\n".join(props) + "\n"
         "end_header\n"
     )
     with open(out_path, "wb") as f:
         f.write(header.encode("ascii"))
-        if rgb is None:
+        if rgb is None and normals is None:
             f.write(pc.astype("<f4").tobytes())
         else:
-            rec = np.zeros(pc.shape[0], dtype=[
-                ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
-                ("red", "u1"), ("green", "u1"), ("blue", "u1"),
-            ])
+            rec = np.zeros(pc.shape[0], dtype=fields)
             rec["x"], rec["y"], rec["z"] = pc[:, 0], pc[:, 1], pc[:, 2]
-            rec["red"], rec["green"], rec["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+            if normals is not None:
+                for i, c in enumerate(_NORMAL_COLS):
+                    rec[c] = normals[:, i]
+            if rgb is not None:
+                rec["red"], rec["green"], rec["blue"] = (
+                    rgb[:, 0], rgb[:, 1], rgb[:, 2])
             f.write(rec.tobytes())
     return out_path

@@ -43,16 +43,21 @@ def test_latent_stream_roundtrip_exact(rng, codec):
         codec.ae_params, codec.prob_params, jnp.asarray(pc),
         jnp.asarray(0, jnp.int32),
     )
-    p_bytes = rangecoder.encode_float_cdf(
-        np.asarray(res.cdf, np.float64), np.asarray(res.sym, np.int16))
-    # decoder side: rebuild cdf from rec_xyz only
-    cdf2 = np.asarray(
-        jax.jit(functools.partial(skeleton_cdf, cfg=CFG))(
-            codec.prob_params, res.rec_xyz),
-        np.float64,
-    )
-    np.testing.assert_allclose(cdf2, np.asarray(res.cdf), atol=1e-7)
-    sym2 = rangecoder.decode_float_cdf(cdf2, p_bytes)
+    # both sides build the cdf through the same jitted program, fed with
+    # rec_xyz only (the decodability invariant)
+    cdf_fn = jax.jit(functools.partial(skeleton_cdf, cfg=CFG))
+    cdf_enc = np.asarray(cdf_fn(codec.prob_params, res.rec_xyz), np.float64)
+    p_bytes = rangecoder.encode_float_cdf(cdf_enc, np.asarray(res.sym, np.int16))
+    # decoder side: host-reconstructed skeleton must yield a bit-identical cdf
+    from pcc_tpu.coding.octree_host import codes_to_points
+    codes = np.asarray(res.sorted_codes, np.int64) >> (
+        3 * (CFG.max_depth - int(res.depth)))
+    rec_host = codes_to_points(codes, int(res.depth))
+    np.testing.assert_array_equal(rec_host, np.asarray(res.rec_xyz))
+    cdf_dec = np.asarray(cdf_fn(codec.prob_params, jnp.asarray(rec_host)),
+                         np.float64)
+    np.testing.assert_array_equal(cdf_dec, cdf_enc)
+    sym2 = rangecoder.decode_float_cdf(cdf_dec, p_bytes)
     np.testing.assert_array_equal(sym2, np.asarray(res.sym))
 
 

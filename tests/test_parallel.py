@@ -70,5 +70,7 @@ def test_sharded_encode_matches_single_device(mesh, rng):
     np.testing.assert_array_equal(np.asarray(ref.sym), np.asarray(out.sym))
     np.testing.assert_array_equal(np.asarray(ref.sorted_codes),
                                   np.asarray(out.sorted_codes))
-    np.testing.assert_allclose(np.asarray(ref.cdf), np.asarray(out.cdf),
-                               rtol=1e-5, atol=1e-6)
+    # rec_xyz drives the coding CDF downstream; voxel centers are exact
+    # dyadic floats so sharded and single-device must agree bit-for-bit
+    np.testing.assert_array_equal(np.asarray(ref.rec_xyz),
+                                  np.asarray(out.rec_xyz))
