@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 from pcc_tpu.io import read_point_cloud
+from pcc_tpu.io.ply import read_point_cloud_normals
 from pcc_tpu.metrics import (
     calc_uc,
     compute_bitrate,
@@ -61,10 +62,13 @@ def main(argv=None):
         if not os.path.exists(decomp):
             continue
 
-        input_pc = read_point_cloud(f)
+        # normals from the file when present (reference eval.py:59-60 lets
+        # open3d keep file normals); re-estimated on device otherwise
+        input_pc, input_normals = read_point_cloud_normals(f)
         decomp_pc = read_point_cloud(decomp)
 
-        psnr = compute_p2point_p2plane_psnr(input_pc, decomp_pc)
+        psnr = compute_p2point_p2plane_psnr(input_pc, decomp_pc,
+                                            normals=input_normals)
         n_in, n_out = input_pc.shape[0], decomp_pc.shape[0]
         total_bytes = sum(os.path.getsize(p) for p in (comp_s, comp_p, comp_c))
 
@@ -77,13 +81,16 @@ def main(argv=None):
         rows["bpp"].append(compute_bitrate(total_bytes, n_in))
         rows["uniformity coefficient"].append(round(calc_uc(input_pc, decomp_pc), 3))
 
-    print(
-        f"Done! The average p2pointPSNR: {round(float(np.mean(rows['p2pointPSNR'])), 3)} | "
-        f"p2plane PSNR: {round(float(np.mean(rows['p2planePSNR'])), 3)} | "
-        f"chamfer distance: {round(float(np.mean(rows['chamfer_distance'])), 8)} | "
-        f"bpp: {round(float(np.mean(rows['bpp'])), 3)} | "
-        f"uc: {round(float(np.mean(rows['uniformity coefficient'])), 3)}"
-    )
+    if rows["filename"]:
+        print(
+            f"Done! The average p2pointPSNR: {round(float(np.mean(rows['p2pointPSNR'])), 3)} | "
+            f"p2plane PSNR: {round(float(np.mean(rows['p2planePSNR'])), 3)} | "
+            f"chamfer distance: {round(float(np.mean(rows['chamfer_distance'])), 8)} | "
+            f"bpp: {round(float(np.mean(rows['bpp'])), 3)} | "
+            f"uc: {round(float(np.mean(rows['uniformity coefficient'])), 3)}"
+        )
+    else:
+        print("Done! No input/decompressed file pairs matched — nothing to average.")
 
     os.makedirs(os.path.dirname(args.output_file) or ".", exist_ok=True)
     pd.DataFrame(rows).to_csv(args.output_file)

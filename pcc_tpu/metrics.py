@@ -24,6 +24,12 @@ from pcc_tpu.ops.normals import estimate_normals
 @functools.partial(jax.jit, static_argnames=("normal_knn",))
 def _d1_d2_device(orig: jnp.ndarray, recon: jnp.ndarray, normal_knn: int = 30):
     normals = estimate_normals(orig, knn=normal_knn)
+    return _d1_d2_with_normals(orig, recon, normals)
+
+
+@jax.jit
+def _d1_d2_with_normals(orig: jnp.ndarray, recon: jnp.ndarray,
+                        normals: jnp.ndarray):
     _, idx = nearest_neighbor(recon, orig)         # exact 1-NN
     nearest = orig[idx]                            # [M, 3]
     normal = normals[idx]                          # [M, 3]
@@ -34,11 +40,19 @@ def _d1_d2_device(orig: jnp.ndarray, recon: jnp.ndarray, normal_knn: int = 30):
     return p2point_mse, p2plane_mse, diag_sq
 
 
-def compute_p2point_p2plane_psnr(orig: np.ndarray, recon: np.ndarray) -> dict:
-    """D1/D2 PSNR with bbox-diagonal peak (eval.py:43-98 semantics)."""
-    p2point_mse, p2plane_mse, diag_sq = _d1_d2_device(
-        jnp.asarray(orig), jnp.asarray(recon)
-    )
+def compute_p2point_p2plane_psnr(orig: np.ndarray, recon: np.ndarray,
+                                 normals: np.ndarray | None = None) -> dict:
+    """D1/D2 PSNR with bbox-diagonal peak (eval.py:43-98 semantics).
+
+    `normals` overrides the device 30-NN PCA estimate when the input file
+    already carries normals (reference eval.py:59-60 behavior)."""
+    if normals is not None:
+        p2point_mse, p2plane_mse, diag_sq = _d1_d2_with_normals(
+            jnp.asarray(orig), jnp.asarray(recon), jnp.asarray(normals))
+    else:
+        p2point_mse, p2plane_mse, diag_sq = _d1_d2_device(
+            jnp.asarray(orig), jnp.asarray(recon)
+        )
     p2point_mse, p2plane_mse, diag_sq = (
         float(p2point_mse), float(p2plane_mse), float(diag_sq))
     d1 = 10 * np.log10(diag_sq / p2point_mse) if p2point_mse > 0 else float("inf")
@@ -46,9 +60,9 @@ def compute_p2point_p2plane_psnr(orig: np.ndarray, recon: np.ndarray) -> dict:
     return {"p2point_psnr": d1, "p2plane_psnr": d2}
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("K",))
 def _uc_region_var(pc: jnp.ndarray, K: int = 1024):
-    """Variance of nearest-neighbor distances in the 1024-NN region around
+    """Variance of nearest-neighbor distances in the K-NN region around
     the first point (eval.py:129-149)."""
     _, _, nn = knn_points(pc[None, :1], pc[None], K=K, return_nn=True)
     region = nn[0, 0] - pc[0]                      # [K, 3]
@@ -64,9 +78,12 @@ def _uc_region_var(pc: jnp.ndarray, K: int = 1024):
 
 def calc_uc(input_pc: np.ndarray, decomp_pc: np.ndarray) -> float:
     """Uniformity coefficient: var(NN dists) ratio decomp/input
-    (eval.py:127-151)."""
-    vi = float(_uc_region_var(jnp.asarray(input_pc)))
-    vd = float(_uc_region_var(jnp.asarray(decomp_pc)))
+    (eval.py:127-151). K is capped at the smaller cloud's size — with K > N
+    knn_points pads with index-0 duplicates, which would inject zero
+    distances into the variance and silently skew the number."""
+    K = min(1024, int(input_pc.shape[0]), int(decomp_pc.shape[0]))
+    vi = float(_uc_region_var(jnp.asarray(input_pc), K=K))
+    vd = float(_uc_region_var(jnp.asarray(decomp_pc), K=K))
     return vd / vi if vi > 0 else float("inf")
 
 

@@ -21,25 +21,40 @@ def _exact_min(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return jnp.min(d, axis=-1)
 
 
+def _pad_chunks(y: jnp.ndarray, chunk: int):
+    """Pad y to a multiple of `chunk` and return ([C, chunk, 3] chunks,
+    [C, chunk] bool validity mask). Shapes are static — any N works, so
+    arbitrary-size clouds (e.g. S3DIS rooms) evaluate like the reference
+    (eval.py:43-98, compress.py:92-93)."""
+    N = y.shape[0]
+    rem = (-N) % chunk
+    if rem:
+        y = jnp.concatenate([y, jnp.zeros((rem, y.shape[1]), y.dtype)])
+    valid = jnp.arange(y.shape[0]) < N
+    C = y.shape[0] // chunk
+    return y.reshape(C, chunk, y.shape[1]), valid.reshape(C, chunk)
+
+
 def min_sq_dists(x: jnp.ndarray, y: jnp.ndarray, chunk: int = _CHUNK) -> jnp.ndarray:
     """Per-point min squared distance from each x to the set y.
 
     Args:
-      x: [S, 3]; y: [N, 3] with N a multiple of `chunk` or smaller than it.
+      x: [S, 3]; y: [N, 3], any N (padded+masked to chunk granularity).
     Returns:
       [S] float.
     """
-    N = y.shape[0]
-    if N <= chunk:
+    if y.shape[0] <= chunk:
         return _exact_min(x, y)
-    assert N % chunk == 0, f"N={N} must be a multiple of chunk={chunk}"
-    y_chunks = y.reshape(N // chunk, chunk, 3)
+    y_chunks, valid = _pad_chunks(y, chunk)
 
-    def body(carry, y_c):
-        return jnp.minimum(carry, _exact_min(x, y_c)), None
+    def body(carry, args):
+        y_c, v_c = args
+        d = jnp.sum((x[:, None, :] - y_c[None, :, :]) ** 2, axis=-1)
+        d = jnp.where(v_c[None, :], d, jnp.inf)
+        return jnp.minimum(carry, jnp.min(d, axis=-1)), None
 
     init = jnp.full((x.shape[0],), jnp.inf, dtype=x.dtype)
-    out, _ = jax.lax.scan(body, init, y_chunks)
+    out, _ = jax.lax.scan(body, init, (y_chunks, valid))
     return out
 
 
@@ -48,20 +63,34 @@ def nearest_neighbor(x: jnp.ndarray, y: jnp.ndarray, chunk: int = _CHUNK):
 
     The matmul-expansion KNN (ops.knn) can mis-pick between near-ties at
     float32 precision, which matters for metrics (a point's nearest neighbor
-    in an identical cloud must be itself). Returns (min_sq_dist [S],
-    idx [S] int32).
+    in an identical cloud must be itself). Both sides are chunked, so any
+    S and N work at [chunk, chunk] peak memory (the reference's eval loops
+    host-side per point instead, eval.py:43-98).
+    Returns (min_sq_dist [S], idx [S] int32).
     """
+    S = x.shape[0]
+    if S > chunk:
+        # chunk the query side too: one scan step per x block
+        x_chunks, _ = _pad_chunks(x, chunk)
+        _, (d, i) = jax.lax.scan(
+            lambda _, xc: (None, _nn_small(xc, y, chunk)), None, x_chunks)
+        return d.reshape(-1)[:S], i.reshape(-1)[:S]
+    return _nn_small(x, y, chunk)
+
+
+def _nn_small(x: jnp.ndarray, y: jnp.ndarray, chunk: int):
+    """nearest_neighbor for x no larger than one chunk."""
     N = y.shape[0]
     if N <= chunk:
         d = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, axis=-1)
         return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
-    assert N % chunk == 0, f"N={N} must be a multiple of chunk={chunk}"
-    y_chunks = y.reshape(N // chunk, chunk, 3)
+    y_chunks, valid = _pad_chunks(y, chunk)
 
     def body(carry, args):
         best_d, best_i = carry
-        c, y_c = args
+        c, y_c, v_c = args
         d = jnp.sum((x[:, None, :] - y_c[None, :, :]) ** 2, axis=-1)
+        d = jnp.where(v_c[None, :], d, jnp.inf)
         d_min = jnp.min(d, axis=-1)
         i_min = jnp.argmin(d, axis=-1).astype(jnp.int32) + c * chunk
         take = d_min < best_d
@@ -71,7 +100,8 @@ def nearest_neighbor(x: jnp.ndarray, y: jnp.ndarray, chunk: int = _CHUNK):
     init = (jnp.full((x.shape[0],), jnp.inf, dtype=x.dtype),
             jnp.zeros((x.shape[0],), jnp.int32))
     (best_d, best_i), _ = jax.lax.scan(
-        body, init, (jnp.arange(N // chunk), y_chunks))
+        body, init,
+        (jnp.arange(y_chunks.shape[0]), y_chunks, valid))
     return best_d, best_i
 
 

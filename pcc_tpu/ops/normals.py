@@ -8,15 +8,39 @@ eigenvector of the smallest eigenvalue. Sign is irrelevant downstream
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from pcc_tpu.ops.knn import knn_points, knn_gather
+from pcc_tpu.ops.knn import knn_points
+
+_CHUNK = 2048
 
 
-def estimate_normals(pc: jnp.ndarray, knn: int = 30) -> jnp.ndarray:
+def _self_knn_idx(pc: jnp.ndarray, knn: int, chunk: int) -> jnp.ndarray:
+    """[N] cloud -> [N, knn] neighbor indices, chunking the query axis so
+    peak memory is [chunk, N] even for S3DIS-scale clouds (a full [N, N]
+    matrix at N=50k would be 10 GB)."""
+    N = pc.shape[0]
+    if N <= chunk:
+        _, idx, _ = knn_points(pc[None], pc[None], K=knn)
+        return idx[0]
+    rem = (-N) % chunk
+    q = jnp.concatenate([pc, jnp.zeros((rem, 3), pc.dtype)]) if rem else pc
+    q_chunks = q.reshape(-1, chunk, 3)
+
+    def body(_, qc):
+        _, idx, _ = knn_points(qc[None], pc[None], K=knn)
+        return None, idx[0]
+
+    _, idx = jax.lax.scan(body, None, q_chunks)
+    return idx.reshape(-1, knn)[:N]
+
+
+def estimate_normals(pc: jnp.ndarray, knn: int = 30,
+                     chunk: int = _CHUNK) -> jnp.ndarray:
     """Per-point unit normals for one cloud [N, 3] -> [N, 3]."""
-    _, idx, _ = knn_points(pc[None], pc[None], K=knn)
-    neigh = knn_gather(pc[None], idx)[0]          # [N, knn, 3]
+    idx = _self_knn_idx(pc, knn, chunk)
+    neigh = pc[idx]                               # [N, knn, 3]
     mean = jnp.mean(neigh, axis=1, keepdims=True)
     centered = neigh - mean
     cov = jnp.einsum("nkc,nkd->ncd", centered, centered) / knn   # [N, 3, 3]
