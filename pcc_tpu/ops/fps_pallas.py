@@ -48,10 +48,14 @@ def _fps_kernel(start_ref, xyz_ref, out_ref, npoint: int):
     jax.lax.fori_loop(0, npoint, body, init)
 
 
-def fps_pallas(xyz: jnp.ndarray, npoint: int, starts: jnp.ndarray) -> jnp.ndarray:
+def fps_pallas(xyz: jnp.ndarray, npoint: int, starts: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
     """Batched FPS via the Pallas kernel: [B, N, 3] + starts [B] ->
     [B, npoint] int32 (same contract as ops.fps.farthest_point_sample_batch,
-    3x faster on device: ~150us vs ~480us per 8192-pt cloud on v5e)."""
+    3x faster on device: ~150us vs ~480us per 8192-pt cloud on v5e).
+
+    interpret=True runs the kernel under the Pallas interpreter so CPU CI
+    can assert index-correctness of the exact kernel the TPU executes."""
     B, N, _ = xyz.shape
     xyz_t = jnp.transpose(xyz, (0, 2, 1)).astype(jnp.float32)  # [B, 3, N]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -67,6 +71,7 @@ def fps_pallas(xyz: jnp.ndarray, npoint: int, starts: jnp.ndarray) -> jnp.ndarra
         functools.partial(_fps_kernel, npoint=npoint),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 1, npoint), jnp.int32),
+        interpret=interpret,
     )(starts.astype(jnp.int32), xyz_t)
     return out[:, 0, :]
 
