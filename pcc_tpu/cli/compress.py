@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("--attributes", action="store_true",
                    help="Also compress RGB attributes into a {name}.a.bin "
                         "stream (extension; the reference codes geometry only).")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision network compute. Streams remain "
+                        "decodable (decompress with --bf16 too: both sides "
+                        "derive the CDF from the same compiled program).")
     return p
 
 
@@ -63,7 +67,8 @@ def main(argv=None):
     import jax
     print(f"Processing on device: {jax.devices()[0]}")
 
-    cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L)
+    cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L,
+                      compute_dtype="bfloat16" if args.bf16 else "float32")
     os.makedirs(args.compressed_path, exist_ok=True)
 
     files = sorted(glob(args.input_glob, recursive=True))

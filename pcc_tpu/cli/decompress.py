@@ -39,6 +39,9 @@ def build_parser():
     p.add_argument("--attributes", action="store_true",
                    help="Decode {name}.a.bin RGB streams into colored .ply "
                         "outputs (extension; the reference codes geometry only).")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision network compute (must match the "
+                        "compress-side setting so the CDF program is identical).")
     return p
 
 
@@ -48,7 +51,8 @@ def main(argv=None):
     import jax
     print(f"Processing on device: {jax.devices()[0]}")
 
-    cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L)
+    cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L,
+                      compute_dtype="bfloat16" if args.bf16 else "float32")
     os.makedirs(args.decompressed_path, exist_ok=True)
 
     files = sorted(glob(os.path.join(args.compressed_path, "*.s.bin")))

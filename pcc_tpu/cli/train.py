@@ -67,6 +67,10 @@ def build_parser():
                    help="Reset training and start from scratch (ignore saved model).")
     p.add_argument("--rate_mode", default="reference", choices=["reference", "fixed"],
                    help="Rate-term normalization (see train/steps.py).")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision network compute (TPU counterpart "
+                        "of the reference's AMP autocast, train.py:168,275); "
+                        "params/optimizer stay float32.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--jax_debug_nans", action="store_true",
                    help="Enable jax debug_nans (fail fast on NaN).")
@@ -80,7 +84,8 @@ def main(argv=None):
     if args.jax_debug_nans:
         jax.config.update("jax_debug_nans", True)
     cfg = CodecConfig(N=args.N, N0=args.N0, ALPHA=args.ALPHA, K=args.K,
-                      d=args.d, L=args.L)
+                      d=args.d, L=args.L,
+                      compute_dtype="bfloat16" if args.bf16 else "float32")
     print(f"Training {args.model} on {jax.devices()[0].platform}")
     print(f"N={cfg.N}, K={cfg.K}, S={cfg.S}, d={cfg.d}, L={cfg.L}")
 

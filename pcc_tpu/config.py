@@ -46,6 +46,10 @@ class CodecConfig:
     sa_knn: int = 16   # KNN size inside SetAbstraction (AE.py:16)
     margin: float = 0.01  # normalize margin (pn_kit.py:47)
     max_depth: int = MAX_OCTREE_DEPTH
+    # network computation dtype: "float32" or "bfloat16". bf16 is the TPU
+    # counterpart of the reference's AMP autocast (train.py:168,275); params,
+    # optimizer state, quantizer arithmetic and the PMF softmax stay float32.
+    compute_dtype: str = "float32"
 
     @property
     def S(self) -> int:

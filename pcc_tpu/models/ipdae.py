@@ -10,6 +10,8 @@ decompress.py:95-102).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -34,15 +36,21 @@ class PatchAE(nn.Module):
     d: int = 16
     L: int = 7
     sa_knn: int = 16
+    dtype: Any = None  # bf16 mixed-precision compute when set (params stay f32)
 
     def setup(self):
-        self.sa = SetAbstraction(knn=self.sa_knn, mlp=(32, 64, 128))
+        self.sa = SetAbstraction(knn=self.sa_knn, mlp=(32, 64, 128),
+                                 dtype=self.dtype)
         self.pn = PointNetFeat(
-            features=(128, 256, 512, self.d), relu=(True, True, True, False)
+            features=(128, 256, 512, self.d), relu=(True, True, True, False),
+            dtype=self.dtype,
         )
-        self.inv_pool = [TorchDense(256), TorchDense(1024), TorchDense(self.k * 128)]
+        self.inv_pool = [TorchDense(256, dtype=self.dtype),
+                         TorchDense(1024, dtype=self.dtype),
+                         TorchDense(self.k * 128, dtype=self.dtype)]
         self.inv_mlp = PointwiseMLP(
-            features=(128, 64, 32, 3), relu=(True, True, True, False)
+            features=(128, 64, 32, 3), relu=(True, True, True, False),
+            dtype=self.dtype,
         )
 
     def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
@@ -50,7 +58,9 @@ class PatchAE(nn.Module):
         the quantizer range; AE.py:36-44)."""
         feats = self.sa(patches)                                   # [B, K, 128]
         latent = self.pn(jnp.concatenate([patches, feats], axis=-1))
-        return sigmoid_spread(latent, self.L)
+        # the quantizer and symbol arithmetic stay exact float32 even under
+        # bf16 compute — rounding in bf16 would flip symbols near .5
+        return sigmoid_spread(latent.astype(jnp.float32), self.L)
 
     def quantize(self, latent: jnp.ndarray) -> jnp.ndarray:
         return ste_round(latent)
@@ -65,7 +75,7 @@ class PatchAE(nn.Module):
         fold = jnp.transpose(x.reshape(x.shape[0], 128, self.k), (0, 2, 1))
         tiled = jnp.repeat(latent_q[:, None, :], self.k, axis=1)   # [B, k, d]
         mlp_in = jnp.concatenate([fold, tiled], axis=-1)
-        return self.inv_mlp(mlp_in)                                # [B, k, 3]
+        return self.inv_mlp(mlp_in).astype(jnp.float32)            # [B, k, 3]
 
     def __call__(self, patches: jnp.ndarray):
         """Training forward (AE.py:34-55): returns
@@ -87,17 +97,21 @@ class ConditionalProbabilityModel(nn.Module):
 
     d: int = 16
     L: int = 7
+    dtype: Any = None
 
     def setup(self):
-        self.model_pn = PointNetFeat(features=(64, 128, 256), relu=(True, True, True))
+        self.model_pn = PointNetFeat(features=(64, 128, 256),
+                                     relu=(True, True, True), dtype=self.dtype)
         self.model_mlp = PointwiseMLP(
-            features=(512, 512, self.d * self.L), relu=(True, True, False)
+            features=(512, 512, self.d * self.L), relu=(True, True, False),
+            dtype=self.dtype,
         )
 
     def __call__(self, sampled_xyz: jnp.ndarray) -> jnp.ndarray:
         B, S, _ = sampled_xyz.shape
         feature = self.model_pn(sampled_xyz)                        # [B, 256]
         tiled = jnp.repeat(feature[:, None, :], S, axis=1)          # [B, S, 256]
-        mlp_in = jnp.concatenate([sampled_xyz, tiled], axis=-1)
+        mlp_in = jnp.concatenate([sampled_xyz.astype(tiled.dtype), tiled], axis=-1)
         out = self.model_mlp(mlp_in).reshape(B, S, self.d, self.L)
-        return nn.softmax(out, axis=-1)
+        # softmax in f32: the PMF feeds the range coder's CDF quantization
+        return nn.softmax(out.astype(jnp.float32), axis=-1)

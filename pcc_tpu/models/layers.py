@@ -10,7 +10,7 @@ activations into the matmul epilogue.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -29,10 +29,15 @@ class TorchDense(nn.Module):
     a permanently dead network where only the final bias can learn. Torch's
     nonzero bias init (what the reference trains with) keeps activations
     alive at zero input.
+
+    `dtype` is the computation dtype (bf16 mixed precision — the TPU
+    counterpart of the reference's AMP autocast, train.py:168,275); params
+    always stay float32 so the optimizer and checkpoints are full precision.
     """
 
     features: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,6 +49,7 @@ class TorchDense(nn.Module):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=uniform_init,
             bias_init=uniform_init,
             name="linear",
@@ -74,16 +80,18 @@ class PointwiseMLP(nn.Module):
     features: Sequence[int]
     relu: Sequence[bool] | None = None
     use_bn: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         relu = self.relu if self.relu is not None else [True] * len(self.features)
         for i, f in enumerate(self.features):
-            x = TorchDense(f, name=f"dense_{i}")(x)
+            x = TorchDense(f, dtype=self.dtype, name=f"dense_{i}")(x)
             if self.use_bn:
                 x = nn.BatchNorm(
                     use_running_average=not train,
                     axis=-1,
+                    dtype=self.dtype,
                     name=f"bn_{i}",
                 )(x)
             if relu[i]:
@@ -98,10 +106,12 @@ class PointNetFeat(nn.Module):
     features: Sequence[int]
     relu: Sequence[bool] | None = None
     use_bn: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = PointwiseMLP(self.features, self.relu, self.use_bn, name="mlp")(x, train)
+        x = PointwiseMLP(self.features, self.relu, self.use_bn, self.dtype,
+                         name="mlp")(x, train)
         return jnp.max(x, axis=-2)
 
 
@@ -147,11 +157,13 @@ class SetAbstraction(nn.Module):
     mlp: Sequence[int] = (32, 64, 128)
     final_relu: bool = True
     use_bn: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         _, _, grouped = knn_points(xyz, xyz, K=self.knn, return_nn=True)
         grouped = grouped - xyz[..., None, :]            # [B, N, K, 3]
         relu = [True] * (len(self.mlp) - 1) + [self.final_relu]
-        feats = PointwiseMLP(self.mlp, relu, self.use_bn, name="mlp")(grouped, train)
+        feats = PointwiseMLP(self.mlp, relu, self.use_bn, self.dtype,
+                             name="mlp")(grouped, train)
         return jnp.max(feats, axis=-2)                   # [B, N, mlp[-1]]
