@@ -25,9 +25,13 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_baseline.json")
-BATCH = 128          # best single-chip batch (256 exceeds the TPU compiler)
+# Clouds per device dispatch. 128 is the single-chip sweet spot: batch 256
+# is a hard HBM OOM (XLA reports 24.06G needed vs 15.75G v5e capacity — the
+# SetAbstraction grouped-neighbor activations are [B*S, K, knn, C] and
+# dominate at B*S = 16k patches).
+BATCH = 128
 N_CLOUDS_TPU = 256
-N_CLOUDS_BASE = 2
+N_CLOUDS_BASE = 4
 
 
 def synthetic_clouds(n, N=8192, seed=0):
@@ -38,6 +42,30 @@ def synthetic_clouds(n, N=8192, seed=0):
         pts = centers[rng.integers(0, 16, N)] + rng.standard_normal((N, 3)) * 0.15
         clouds.append(pts.astype(np.float32))
     return clouds
+
+
+def _log(msg):
+    sys.stderr.write(msg + "\n")
+    sys.stderr.flush()
+
+
+def _mfu_estimate(codec, cfg, clouds):
+    """Achieved FLOP/s via XLA's own cost model for the encode program."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        enc = codec._encode_fn(cfg.N)
+        pcs = jnp.asarray(np.stack(clouds[:codec.batch_size]))
+        starts = jnp.zeros((codec.batch_size,), jnp.int32)
+        lowered = enc.lower(codec.ae_params, codec.prob_params, pcs, starts)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception as e:  # cost model unavailable on some backends
+        _log(f"cost_analysis unavailable ({type(e).__name__}); no MFU")
+        return 0.0
 
 
 def bench_tpu():
@@ -57,15 +85,36 @@ def bench_tpu():
 
     t0 = time.perf_counter()
     streams = codec.compress_many(clouds[BATCH:])
+    t_enc = time.perf_counter() - t0
     outs = codec.decompress_many(streams)
     dt = time.perf_counter() - t0
+    t_dec = dt - t_enc
     assert outs[-1].shape[0] == cfg.N
+
+    # breakdown + MFU to stderr (the stdout contract is ONE json line)
+    _log(f"breakdown: encode {t_enc:.3f}s, decode {t_dec:.3f}s for "
+         f"{N_CLOUDS_TPU} clouds ({1e3*t_enc/N_CLOUDS_TPU:.2f} / "
+         f"{1e3*t_dec/N_CLOUDS_TPU:.2f} ms/cloud)")
+    flops_per_batch = _mfu_estimate(codec, cfg, clouds)
+    if flops_per_batch:
+        achieved = flops_per_batch * (N_CLOUDS_TPU / BATCH) / t_enc
+        # v5e peak: 197 TFLOP/s bf16 / ~98 TFLOP/s f32 MXU
+        _log(f"encode ~{flops_per_batch/1e9:.1f} GFLOP/batch{BATCH} -> "
+             f"{achieved/1e12:.3f} TFLOP/s achieved "
+             f"(~{100*achieved/98e12:.2f}% of v5e f32 peak); "
+             "the codec is latency/bandwidth-bound (tiny matmuls, "
+             "sequential FPS), not FLOP-bound")
     return cfg.N * N_CLOUDS_TPU / dt
 
 
 def bench_baseline():
     """Reference-style serial CPU pipeline (run under JAX_PLATFORMS=cpu)."""
     import jax
+
+    # the axon sitecustomize force-selects the TPU platform at interpreter
+    # start even when the subprocess env says cpu; claw it back or the
+    # "CPU baseline" silently runs on (or crashes against) the TPU
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from pcc_tpu.codec import init_params, make_models

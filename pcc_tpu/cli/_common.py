@@ -11,6 +11,13 @@ def setup_jax(cache_dir: str | None = None) -> None:
     keep dispatch async-friendly. Call before heavy jax use."""
     import jax
 
+    # Honor an explicit JAX_PLATFORMS env var: some environments (the axon
+    # sitecustomize) force-override the platform selection at interpreter
+    # start, so the env var alone does not stick.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
+
     # Separate the cache per platform string: mixing CPU executables
     # compiled under different machine-feature assumptions into one cache
     # can hang/crash at AOT load time.

@@ -18,6 +18,7 @@ On-disk contract matches the reference (compress.py:139-152):
 from __future__ import annotations
 
 import functools
+from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
 import jax
@@ -39,6 +40,17 @@ from pcc_tpu.models.ipdae import ConditionalProbabilityModel, PatchAE
 from pcc_tpu.ops.fps import fps_batch
 from pcc_tpu.ops.knn import knn_points
 from pcc_tpu.ops.normalize import denormalize, normalize
+
+
+def _fetch_all(*arrays):
+    """Materialize device arrays on the host, starting ALL copies async
+    first: each blocking fetch over the remote-attached device tunnel costs
+    a full round trip, so serial np.asarray calls pay ~30ms apiece while
+    async-then-gather pays one."""
+    for a in arrays:
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
+    return [np.asarray(a) for a in arrays]
 
 
 def make_models(cfg: CodecConfig):
@@ -154,13 +166,17 @@ class Codec:
     """
 
     def __init__(self, cfg: CodecConfig, ae_params, prob_params,
-                 batch_size: int = 16):
+                 batch_size: int = 16, host_threads: int = 8):
         self.cfg = cfg
         self.ae_params = ae_params
         self.prob_params = prob_params
         self.batch_size = batch_size
         self._encode_cache = {}
         self._decode_cache = {}
+        # host bit serialization is per-cloud independent; the C++ range
+        # coder releases the GIL inside ctypes calls, so a thread pool
+        # parallelizes it across clouds while the TPU runs the next batch
+        self._pool = ThreadPoolExecutor(max_workers=host_threads)
 
     def _encode_fn(self, N: int):
         """Batched encode jit, cached per cloud size N."""
@@ -234,34 +250,43 @@ class Codec:
                           jnp.asarray(pcs), jnp.asarray(starts))
                 return res, cdf_fn(self.prob_params, res.rec_xyz)
 
+            def serialize_one(i, cdf, sym, depth, codes64, center, longest):
+                p_bytes = rangecoder.encode_float_cdf(cdf, sym)
+                codes = codes64 >> (3 * (cfg.max_depth - depth))
+                if len(np.unique(codes)) != codes.shape[0]:
+                    raise ValueError(
+                        f"cloud {i}: octree at depth {depth} maps "
+                        f"{codes.shape[0]} skeleton points to "
+                        f"{len(np.unique(codes))} distinct voxels "
+                        "(coincident FPS points, no lossless depth); "
+                        "the stream would be undecodable"
+                    )
+                s_bytes = pack_bits(emit_octree_bits(codes, depth))
+                header = np.zeros(4, dtype=np.float32)
+                header[:3] = center
+                header[3] = longest
+                return i, (p_bytes, s_bytes, header.tobytes())
+
             pending = dispatch(batches[0])
             for b, batch_idx in enumerate(batches):
                 res, cdfs_dev = pending
                 if b + 1 < len(batches):
                     pending = dispatch(batches[b + 1])  # overlap device work
-                syms = np.asarray(res.sym, dtype=np.int16)
-                cdfs = np.asarray(cdfs_dev, dtype=np.float64)
-                depths = np.asarray(res.depth)
-                all_codes = np.asarray(res.sorted_codes, dtype=np.int64)
-                centers = np.asarray(res.center)
-                longests = np.asarray(res.longest)
-                for j, i in enumerate(batch_idx):
-                    p_bytes = rangecoder.encode_float_cdf(cdfs[j], syms[j])
-                    depth = int(depths[j])
-                    codes = all_codes[j] >> (3 * (cfg.max_depth - depth))
-                    if len(np.unique(codes)) != codes.shape[0]:
-                        raise ValueError(
-                            f"cloud {i}: octree at depth {depth} maps "
-                            f"{codes.shape[0]} skeleton points to "
-                            f"{len(np.unique(codes))} distinct voxels "
-                            "(coincident FPS points, no lossless depth); "
-                            "the stream would be undecodable"
-                        )
-                    s_bytes = pack_bits(emit_octree_bits(codes, depth))
-                    header = np.zeros(4, dtype=np.float32)
-                    header[:3] = centers[j]
-                    header[3] = longests[j]
-                    results[i] = (p_bytes, s_bytes, header.tobytes())
+                syms, cdfs, depths, all_codes, centers, longests = _fetch_all(
+                    res.sym, cdfs_dev, res.depth, res.sorted_codes,
+                    res.center, res.longest)
+                syms = syms.astype(np.int16)
+                cdfs = cdfs.astype(np.float64)
+                all_codes = all_codes.astype(np.int64)
+                futures = [
+                    self._pool.submit(
+                        serialize_one, i, cdfs[j], syms[j], int(depths[j]),
+                        all_codes[j], centers[j], longests[j])
+                    for j, i in enumerate(batch_idx)
+                ]
+                for fut in futures:
+                    i, blob = fut.result()
+                    results[i] = blob
         return results
 
     # ------------------------------------------------------------- decode --
@@ -301,12 +326,13 @@ class Codec:
                 idx_p, recs, cdfs_dev = pending
                 if b + 1 < len(batches):
                     pending = dispatch_cdf(batches[b + 1])  # overlap device work
-                cdfs = np.asarray(cdfs_dev, dtype=np.float64)
-                syms = np.stack([
-                    rangecoder.decode_float_cdf(cdfs[j], streams[i][0])
-                    .astype(np.int32)
-                    for j, i in enumerate(idx_p)
-                ])
+                (cdfs,) = _fetch_all(cdfs_dev)
+                cdfs = cdfs.astype(np.float64)
+                syms = np.stack(list(self._pool.map(
+                    lambda ji: rangecoder.decode_float_cdf(
+                        cdfs[ji[0]], streams[ji[1]][0]).astype(np.int32),
+                    enumerate(idx_p),
+                )))
                 headers = np.stack([parsed[i][1] for i in idx_p])
                 pcs = np.asarray(dec_fn(
                     self.ae_params,
