@@ -41,6 +41,8 @@ def build_parser():
                    help="Clouds per device dispatch.")
     p.add_argument("--profile_dir", default=None,
                    help="Write a jax.profiler trace of the compress run here.")
+    p.add_argument("--d_a", type=int, default=16,
+                   help="Attribute bottleneck size (with --attributes).")
     p.add_argument("--attributes", action="store_true",
                    help="Also compress RGB attributes into a {name}.a.bin "
                         "stream (extension; the reference codes geometry only).")
@@ -139,7 +141,8 @@ def load_attr_codec(model_load_folder: str, cfg: CodecConfig, seed: int,
 def _compress_with_attributes(args, cfg: CodecConfig, files):
     from pcc_tpu.io.ply import read_point_cloud_attr
 
-    codec = load_attr_codec(args.model_load_folder, cfg, args.seed)
+    codec = load_attr_codec(args.model_load_folder, cfg, args.seed,
+                            d_a=args.d_a)
     start = time.time()
     n = 0
     for f in files:

@@ -36,6 +36,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--batch_size", type=int, default=64,
                    help="Clouds per device dispatch.")
+    p.add_argument("--d_a", type=int, default=16,
+                   help="Attribute bottleneck size (with --attributes).")
     p.add_argument("--attributes", action="store_true",
                    help="Decode {name}.a.bin RGB streams into colored .ply "
                         "outputs (extension; the reference codes geometry only).")
@@ -89,7 +91,8 @@ def main(argv=None):
 def _decompress_with_attributes(args, cfg: CodecConfig, files):
     from pcc_tpu.cli.compress import load_attr_codec
 
-    codec = load_attr_codec(args.model_load_folder, cfg, args.seed)
+    codec = load_attr_codec(args.model_load_folder, cfg, args.seed,
+                            d_a=args.d_a)
     start = time.time()
     n = 0
     for f in files:

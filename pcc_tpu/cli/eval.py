@@ -17,10 +17,11 @@ import numpy as np
 import pandas as pd
 
 from pcc_tpu.io import read_point_cloud
-from pcc_tpu.io.ply import read_point_cloud_normals
+from pcc_tpu.io.ply import read_point_cloud_attr, read_point_cloud_normals
 from pcc_tpu.metrics import (
     calc_uc,
     compute_bitrate,
+    compute_color_psnr,
     compute_p2point_p2plane_psnr,
     normalized_chamfer,
 )
@@ -52,12 +53,16 @@ def main(argv=None):
     rows = {k: [] for k in (
         "filename", "p2pointPSNR", "p2planePSNR", "chamfer_distance",
         "n_points_input", "n_points_output", "bpp", "uniformity coefficient")}
+    # extension columns, added only when {name}.a.bin attribute streams
+    # exist so geometry-only CSVs keep the reference schema byte-for-byte
+    attr_rows = {"color_psnr": [], "attr_bpp": []}
 
     print("Evaluating...")
     for f, name in zip(files, filenames):
         comp_s = os.path.join(args.compressed_path, name + ".s.bin")
         comp_p = os.path.join(args.compressed_path, name + ".p.bin")
         comp_c = os.path.join(args.compressed_path, name + ".c.bin")
+        comp_a = os.path.join(args.compressed_path, name + ".a.bin")
         decomp = os.path.join(args.decompressed_path, name + ".bin.ply")
         if not os.path.exists(decomp):
             continue
@@ -81,13 +86,37 @@ def main(argv=None):
         rows["bpp"].append(compute_bitrate(total_bytes, n_in))
         rows["uniformity coefficient"].append(round(calc_uc(input_pc, decomp_pc), 3))
 
+        if os.path.exists(comp_a):
+            in_pc_a, in_rgb = read_point_cloud_attr(f)
+            out_pc_a, out_rgb = read_point_cloud_attr(decomp)
+            if in_rgb is not None and out_rgb is not None:
+                attr_rows["color_psnr"].append(round(compute_color_psnr(
+                    in_pc_a, in_rgb, out_pc_a, out_rgb), 3))
+            else:
+                attr_rows["color_psnr"].append(float("nan"))
+            attr_rows["attr_bpp"].append(
+                compute_bitrate(os.path.getsize(comp_a), n_in))
+        else:
+            attr_rows["color_psnr"].append(float("nan"))
+            attr_rows["attr_bpp"].append(float("nan"))
+
+    if not np.all(np.isnan(attr_rows["attr_bpp"])):
+        rows.update(attr_rows)
+
     if rows["filename"]:
+        extra = ""
+        if "color_psnr" in rows:
+            extra = (
+                f" | color PSNR: {round(float(np.nanmean(rows['color_psnr'])), 3)}"
+                f" | attr bpp: {round(float(np.nanmean(rows['attr_bpp'])), 3)}"
+            )
         print(
             f"Done! The average p2pointPSNR: {round(float(np.mean(rows['p2pointPSNR'])), 3)} | "
             f"p2plane PSNR: {round(float(np.mean(rows['p2planePSNR'])), 3)} | "
             f"chamfer distance: {round(float(np.mean(rows['chamfer_distance'])), 8)} | "
             f"bpp: {round(float(np.mean(rows['bpp'])), 3)} | "
             f"uc: {round(float(np.mean(rows['uniformity coefficient'])), 3)}"
+            + extra
         )
     else:
         print("Done! No input/decompressed file pairs matched — nothing to average.")

@@ -100,3 +100,25 @@ def normalized_chamfer(input_pc: np.ndarray, decomp_pc: np.ndarray) -> float:
 def compute_bitrate(num_bytes: int, num_points: int) -> float:
     """bpp = 8 * bytes / points (eval.py:122-125)."""
     return 8.0 * num_bytes / num_points
+
+
+@jax.jit
+def _color_mse_device(in_pc, in_rgb01, out_pc, out_rgb01):
+    _, idx = nearest_neighbor(out_pc, in_pc)
+    return jnp.mean((out_rgb01 - in_rgb01[idx]) ** 2)
+
+
+def compute_color_psnr(input_pc: np.ndarray, input_rgb: np.ndarray,
+                       decomp_pc: np.ndarray, decomp_rgb: np.ndarray) -> float:
+    """RGB PSNR (peak 255) of each decompressed point's color against the
+    color of its nearest input point. Extension metric — the reference
+    codes geometry only, so eval.py has no color column."""
+    mse = float(_color_mse_device(
+        jnp.asarray(input_pc),
+        jnp.asarray(input_rgb, jnp.float32) / 255.0,
+        jnp.asarray(decomp_pc),
+        jnp.asarray(decomp_rgb, jnp.float32) / 255.0,
+    ))
+    if mse <= 0:
+        return float("inf")
+    return 10.0 * float(np.log10(1.0 / mse))
