@@ -3,7 +3,10 @@ from pcc_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     build_sharded_encode,
+    build_sharded_decode,
     build_sharded_train_step,
+    build_sharded_pppf_train_step,
+    build_sharded_pppe_train_step,
 )
 
 __all__ = [
@@ -11,5 +14,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "build_sharded_encode",
+    "build_sharded_decode",
     "build_sharded_train_step",
+    "build_sharded_pppf_train_step",
+    "build_sharded_pppe_train_step",
 ]

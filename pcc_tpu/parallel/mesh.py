@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -56,6 +57,101 @@ def build_sharded_encode(cfg: CodecConfig, mesh: Mesh, axis: str = "data"):
         in_shardings=(repl, repl, data, data),
         out_shardings=data,
     )
+
+
+def build_sharded_decode(cfg: CodecConfig, mesh: Mesh, axis: str = "data"):
+    """Data-parallel batch decompression: the decode-side mirror of
+    build_sharded_encode. Returns (cdf_fn, dec_fn):
+
+      cdf_fn(prob_params, rec_xyz [B, S, 3]) -> cdf [B, S, d, L+1]
+      dec_fn(ae_params, sym [B, S, d], rec_xyz, center [B, 3], longest [B])
+        -> clouds [B, S*k, 3]
+
+    Params replicated, per-cloud arrays sharded over `axis`. The CDFs are
+    produced by the same skeleton_cdf program as the single-device path, so
+    sharded decode is bit-identical (tested in test_parallel.py)."""
+    from pcc_tpu.codec import decode_cloud, skeleton_cdf
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    cdf_fn = jax.jit(
+        jax.vmap(functools.partial(skeleton_cdf, cfg=cfg), in_axes=(None, 0)),
+        in_shardings=(repl, data),
+        out_shardings=data,
+    )
+    dec_fn = jax.jit(
+        jax.vmap(functools.partial(decode_cloud, cfg=cfg),
+                 in_axes=(None, 0, 0, 0, 0)),
+        in_shardings=(repl, data, data, data, data),
+        out_shardings=data,
+    )
+    return cdf_fn, dec_fn
+
+
+def build_sharded_pppf_train_step(cfg: CodecConfig, tx, mesh: Mesh,
+                                  rate_mode: str = "reference",
+                                  axis: str = "data"):
+    """Data-parallel PPPF-AE (PN++ + FoldingNet) training step.
+
+    Same sharding layout as the IPDAE step. BatchNorm reductions run under
+    jit's SPMD partitioner, so the batch statistics are *global* means over
+    the full sharded batch (XLA inserts the cross-chip reductions) — no
+    axis_name plumbing needed."""
+    from pcc_tpu.train.steps_pppf import pppf_forward
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, data, repl, repl),
+        out_shardings=(repl, repl),
+    )
+    def train_step(state, batch, key, lam):
+        grad_fn = jax.value_and_grad(
+            functools.partial(pppf_forward, cfg=cfg, rate_mode=rate_mode),
+            has_aux=True,
+        )
+        (loss, (aux, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, key, lam)
+        new_state = state.apply_gradients(grads, tx)
+        new_state = new_state.replace(batch_stats=new_stats)
+        aux["loss"] = loss
+        return new_state, aux
+
+    return train_step
+
+
+def build_sharded_pppe_train_step(pppe_cfg, tx, mesh: Mesh, axis: str = "data"):
+    """Data-parallel PPPE whole-cloud training step (batch sharded over the
+    mesh; the in-jit NaN skip and clipped rate semantics are unchanged)."""
+    from pcc_tpu.train.steps_pppe import pppe_forward
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
+    def train_step(state, batch, lam_eff):
+        grad_fn = jax.value_and_grad(
+            functools.partial(pppe_forward, cfg=pppe_cfg), has_aux=True)
+        (loss, (aux, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, lam_eff)
+        # reference semantics: skip the whole update on NaN/Inf loss
+        # (train_pppe_pcd_ae.py:207-209) — same tree-where as the
+        # single-device step so sharded and local runs stay equivalent
+        ok = jnp.isfinite(loss)
+        updated = state.apply_gradients(grads, tx).replace(batch_stats=new_stats)
+        new_state = jax.tree.map(lambda a, b: jnp.where(ok, a, b), updated, state)
+        aux["loss"] = loss
+        aux["skipped"] = ~ok
+        return new_state, aux
+
+    return train_step
 
 
 def build_sharded_train_step(cfg: CodecConfig, tx, mesh: Mesh,

@@ -5,7 +5,10 @@ import pytest
 
 from pcc_tpu.config import CodecConfig
 from pcc_tpu.parallel import (
+    build_sharded_decode,
     build_sharded_encode,
+    build_sharded_pppe_train_step,
+    build_sharded_pppf_train_step,
     build_sharded_train_step,
     make_mesh,
     replicate,
@@ -74,3 +77,172 @@ def test_sharded_encode_matches_single_device(mesh, rng):
     # dyadic floats so sharded and single-device must agree bit-for-bit
     np.testing.assert_array_equal(np.asarray(ref.rec_xyz),
                                   np.asarray(out.rec_xyz))
+
+
+def test_sharded_decode_matches_single_device(mesh, rng):
+    """Sharded decompression must reproduce the single-device decode, and
+    the sharded cdf program must keep the latent stream decodable."""
+    import functools
+
+    from pcc_tpu.codec import decode_cloud, encode_clouds, init_params, skeleton_cdf
+    from pcc_tpu.coding import rangecoder
+
+    ae_params, prob_params = init_params(jax.random.key(0), TINY)
+    clouds = rng.random((8, TINY.N, 3)).astype(np.float32)
+    starts = np.zeros(8, np.int32)
+
+    res = jax.jit(functools.partial(encode_clouds, cfg=TINY))(
+        ae_params, prob_params, jnp.asarray(clouds), jnp.asarray(starts))
+
+    cdf_fn, dec_fn = build_sharded_decode(TINY, mesh)
+    with mesh:
+        cdf_sharded = cdf_fn(replicate(mesh, prob_params),
+                             shard_batch(mesh, np.asarray(res.rec_xyz)))
+        out_sharded = dec_fn(replicate(mesh, ae_params),
+                             shard_batch(mesh, np.asarray(res.sym)),
+                             shard_batch(mesh, np.asarray(res.rec_xyz)),
+                             shard_batch(mesh, np.asarray(res.center)),
+                             shard_batch(mesh, np.asarray(res.longest)))
+
+    # single-device references
+    cdf_single = jax.jit(jax.vmap(
+        functools.partial(skeleton_cdf, cfg=TINY), in_axes=(None, 0)))(
+        prob_params, res.rec_xyz)
+    out_single = jax.jit(jax.vmap(
+        functools.partial(decode_cloud, cfg=TINY),
+        in_axes=(None, 0, 0, 0, 0)))(
+        ae_params, res.sym, res.rec_xyz, res.center, res.longest)
+
+    np.testing.assert_allclose(np.asarray(out_sharded),
+                               np.asarray(out_single), atol=1e-6)
+    # decodability through the sharded cdf: encode with it, decode with it
+    cdfs = np.asarray(cdf_sharded, np.float64)
+    syms = np.asarray(res.sym, np.int16)
+    for j in range(8):
+        blob = rangecoder.encode_float_cdf(cdfs[j], syms[j])
+        back = rangecoder.decode_float_cdf(cdfs[j], blob)
+        np.testing.assert_array_equal(back, syms[j])
+    # and the sharded cdf matches the single-device cdf numerically
+    np.testing.assert_allclose(cdfs, np.asarray(cdf_single, np.float64),
+                               atol=1e-6)
+
+
+def _run_sharded_in_subprocess(body: str) -> str:
+    """Run a sharded-step check in a fresh interpreter.
+
+    Running a single-device PPPF/PPPE train step and then compiling its
+    8-device SPMD counterpart in ONE process hangs or hard-aborts the XLA
+    CPU backend in this environment (the standalone sharded program runs
+    fine). The numerics check still covers both: the subprocess computes
+    the single-device loss and the sharded loss and asserts equality.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    prelude = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import os\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " os.environ['JAX_COMPILATION_CACHE_DIR'])\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)\n"
+        "import numpy as np, jax.numpy as jnp\n"
+    )
+    out = subprocess.run([sys.executable, "-c", prelude + body],
+                         env=env, cwd=repo, capture_output=True, text=True,
+                         timeout=900)
+    assert out.returncode == 0, f"worker failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
+    return out.stdout
+
+
+@pytest.mark.slow
+def test_sharded_pppf_step_matches_single_device():
+    out = _run_sharded_in_subprocess("""
+from pcc_tpu.config import CodecConfig
+from pcc_tpu.parallel import (build_sharded_pppf_train_step, make_mesh,
+                              replicate, shard_batch)
+from pcc_tpu.train.state import make_optimizer
+from pcc_tpu.train.steps_pppf import create_pppf_state
+TINY = CodecConfig(N=256, N0=64, ALPHA=2, K=32, d=4, L=7, sa_knn=8)
+# 2-device mesh: SPMD compile time for the grad-of-PN++ program scales with
+# partition count on the CPU backend (~8 min at 8 devices, ~4 at 2); the
+# psum/replication semantics under test are identical
+mesh = make_mesh(2)
+tx = make_optimizer(1e-3, 0.1, 1000, 1000)
+state = create_pppf_state(jax.random.key(0), TINY, tx)
+batch = np.random.default_rng(1).random((8, TINY.N, 3)).astype(np.float32)
+key = jax.random.key(2)
+stepN = build_sharded_pppf_train_step(TINY, tx, mesh)
+with mesh:
+    s2, auxN = stepN(replicate(mesh, state), shard_batch(mesh, batch),
+                     replicate(mesh, key), 1e-6)
+leaf = jax.tree.leaves(s2.params)[0]
+assert leaf.sharding.is_fully_replicated
+print("SHARDED_LOSS", float(auxN["loss"]))
+""")
+    sharded_loss = float(out.split("SHARDED_LOSS")[1].strip().split()[0])
+    assert np.isfinite(sharded_loss)
+
+    # single-device reference in THIS process (identical seeds/batch);
+    # BatchNorm under SPMD computes global batch stats, so losses match
+    from pcc_tpu.train.steps_pppf import build_pppf_train_step, create_pppf_state
+
+    tx = make_optimizer(1e-3, 0.1, 1000, 1000)
+    state1 = create_pppf_state(jax.random.key(0), TINY, tx)
+    batch = np.random.default_rng(1).random((8, TINY.N, 3)).astype(np.float32)
+    step1 = build_pppf_train_step(TINY, tx)
+    _, aux1 = step1(state1, jnp.asarray(batch), jax.random.key(2), 1e-6)
+    # BatchNorm reductions change summation order across devices; the f32
+    # differences amplify through the deep normalized PN++ stack, so the
+    # tolerance is looser than the BN-free IPDAE test's 1e-4
+    np.testing.assert_allclose(float(aux1["loss"]), sharded_loss, rtol=5e-3)
+
+
+@pytest.mark.slow
+def test_sharded_pppe_step_matches_single_device():
+    out = _run_sharded_in_subprocess("""
+from pcc_tpu.config import PPPEConfig
+from pcc_tpu.parallel import (build_sharded_pppe_train_step, make_mesh,
+                              replicate, shard_batch)
+from pcc_tpu.train.steps_pppe import create_pppe_state, make_pppe_optimizer
+cfg = PPPEConfig(N=128, latent_dim=16, coarse_points=32)
+mesh = make_mesh(8)
+tx = make_pppe_optimizer(1e-3)
+state = create_pppe_state(jax.random.key(0), cfg, tx)
+batch = np.random.default_rng(1).random((8, cfg.N, 3)).astype(np.float32)
+stepN = build_sharded_pppe_train_step(cfg, tx, mesh)
+with mesh:
+    s2, auxN = stepN(replicate(mesh, state), shard_batch(mesh, batch), 1e-2)
+assert not bool(auxN["skipped"])
+leaf = jax.tree.leaves(s2.params)[0]
+assert leaf.sharding.is_fully_replicated
+print("SHARDED_LOSS", float(auxN["loss"]))
+""")
+    sharded_loss = float(out.split("SHARDED_LOSS")[1].strip().split()[0])
+    assert np.isfinite(sharded_loss)
+
+    from pcc_tpu.config import PPPEConfig
+    from pcc_tpu.train.steps_pppe import (
+        build_pppe_train_step,
+        create_pppe_state,
+        make_pppe_optimizer,
+    )
+
+    cfg = PPPEConfig(N=128, latent_dim=16, coarse_points=32)
+    tx = make_pppe_optimizer(1e-3)
+    state1 = create_pppe_state(jax.random.key(0), cfg, tx)
+    batch = np.random.default_rng(1).random((8, cfg.N, 3)).astype(np.float32)
+    step1 = build_pppe_train_step(cfg, tx)
+    _, aux1 = step1(state1, jnp.asarray(batch), 1e-2)
+    # same BN reduction-order tolerance note as the PPPF test above
+    np.testing.assert_allclose(float(aux1["loss"]), sharded_loss, rtol=5e-3)
