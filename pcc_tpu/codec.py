@@ -321,11 +321,12 @@ class Codec:
                 recs = jnp.asarray(np.stack([parsed[i][0] for i in idx_p]))
                 return idx_p, recs, cdf_fn(self.prob_params, recs)
 
-            pending = dispatch_cdf(batches[0])
-            for b, batch_idx in enumerate(batches):
-                idx_p, recs, cdfs_dev = pending
-                if b + 1 < len(batches):
-                    pending = dispatch_cdf(batches[b + 1])  # overlap device work
+            def dispatch_dec(stage):
+                """Stage B: host range-decode the symbols under this
+                batch's CDFs (threaded), then launch the decoder network —
+                async, so the device decodes batch i while the host
+                range-decodes batch i+1's symbols."""
+                idx_p, recs, cdfs_dev = stage
                 (cdfs,) = _fetch_all(cdfs_dev)
                 cdfs = cdfs.astype(np.float64)
                 syms = np.stack(list(self._pool.map(
@@ -334,13 +335,33 @@ class Codec:
                     enumerate(idx_p),
                 )))
                 headers = np.stack([parsed[i][1] for i in idx_p])
-                pcs = np.asarray(dec_fn(
+                return dec_fn(
                     self.ae_params,
                     jnp.asarray(syms),
                     recs,
                     jnp.asarray(headers[:, :3]),
                     jnp.asarray(headers[:, 3]),
-                ))
-                for j, i in enumerate(batch_idx):
-                    results[i] = pcs[j]
+                )
+
+            # 3-stage software pipeline over batches:
+            #   A: skeleton-CDF dispatch   (device)
+            #   B: range decode + decoder dispatch (host pool + device)
+            #   C: fetch decoded clouds    (transfer)
+            pending_cdf = dispatch_cdf(batches[0])
+            pending_dec = None
+            for b, batch_idx in enumerate(batches):
+                stage = pending_cdf
+                if b + 1 < len(batches):
+                    pending_cdf = dispatch_cdf(batches[b + 1])
+                pcs_dev = dispatch_dec(stage)
+                if pending_dec is not None:
+                    prev_idx, prev_dev = pending_dec
+                    (pcs,) = _fetch_all(prev_dev)
+                    for j, i in enumerate(prev_idx):
+                        results[i] = pcs[j]
+                pending_dec = (batch_idx, pcs_dev)
+            prev_idx, prev_dev = pending_dec
+            (pcs,) = _fetch_all(prev_dev)
+            for j, i in enumerate(prev_idx):
+                results[i] = pcs[j]
         return results
