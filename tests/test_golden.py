@@ -1,0 +1,64 @@
+"""Golden-artifact guards: the committed eval CSVs are this framework's
+regression anchors (eval/GOLDEN.md — the counterpart of the reference's
+committed eval/ModelNet40_K256.csv). These tests pin the documented means
+so the artifacts cannot silently drift or rot."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+EVAL_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "eval")
+
+
+def _load(name):
+    path = os.path.join(EVAL_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not committed")
+    return pd.read_csv(path)
+
+
+def test_fixed_mode_golden_stats():
+    df = _load("SyntheticSurfaces_K256.csv")
+    assert len(df) == 32
+    assert df["p2pointPSNR"].mean() == pytest.approx(43.83, abs=0.05)
+    assert df["bpp"].mean() == pytest.approx(0.562, abs=0.005)
+    # beats the reference's RD anchor (42.98 dB / 0.640 bpp) on both axes
+    assert df["p2pointPSNR"].mean() > 42.98
+    assert df["bpp"].mean() < 0.640
+    assert (df["n_points_input"] == 8192).all()
+    assert (df["n_points_output"] == 8192).all()
+
+
+def test_reference_mode_golden_stats():
+    df = _load("SyntheticSurfaces_K256_reference_mode.csv")
+    assert len(df) == 32
+    # the reference's exact recipe lands in its published operating regime:
+    # near-uniform PMF -> ~0.65 total bpp, D1 in the ~43 dB band
+    assert df["p2pointPSNR"].mean() == pytest.approx(43.87, abs=0.05)
+    assert df["bpp"].mean() == pytest.approx(0.651, abs=0.005)
+    assert 0.60 < df["bpp"].mean() < 0.70
+    assert 42.0 < df["p2pointPSNR"].mean() < 46.0
+
+
+def test_attribute_golden_stats():
+    df = _load("SyntheticSurfacesRGB_K256_attr.csv")
+    assert len(df) == 16
+    assert df["color_psnr"].mean() == pytest.approx(25.92, abs=0.05)
+    assert df["attr_bpp"].mean() == pytest.approx(0.249, abs=0.005)
+    # geometry stays in the compare.py High tier under the joint objective
+    assert df["p2pointPSNR"].mean() >= 38.0
+    assert df["p2planePSNR"].mean() >= 40.0
+
+
+def test_goldens_quality_tiers():
+    """Every row of the fixed-mode golden clears the reference's own
+    High-tier thresholds (compare.py:19-25)."""
+    df = _load("SyntheticSurfaces_K256.csv")
+    assert (df["p2pointPSNR"] >= 38).all()
+    assert (df["p2planePSNR"] >= 40).all()
+    assert (df["bpp"] < 1.2).all()
+    preservation = df["n_points_output"] / df["n_points_input"]
+    assert (preservation >= 0.95).all()
+    assert np.isfinite(df["chamfer_distance"]).all()
