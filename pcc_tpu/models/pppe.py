@@ -15,7 +15,7 @@ latents (pppe_pcd_compress.py:36-41).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,7 @@ class PointNetSetAbstractionKNN(nn.Module):
     K: int
     mlp: Sequence[int]
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
@@ -60,7 +61,8 @@ class PointNetSetAbstractionKNN(nn.Module):
         if features is not None:
             grouped = jnp.concatenate(
                 [grouped, index_points(features, knn_idx)], axis=-1)
-        out = PointwiseMLP(self.mlp, use_bn=self.use_bn, name="mlp")(grouped, train)
+        out = PointwiseMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype,
+                           name="mlp")(grouped, train)
         return new_xyz, jnp.max(out, axis=2)
 
 
@@ -71,6 +73,7 @@ class PointNetSetAbstractionMSG(nn.Module):
     npoint: int
     scales: Sequence[dict]
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
@@ -79,7 +82,7 @@ class PointNetSetAbstractionMSG(nn.Module):
         for i, sc in enumerate(self.scales):
             branch = PointNetSetAbstractionKNN(
                 npoint=self.npoint, K=sc["K"], mlp=tuple(sc["mlp"]),
-                use_bn=self.use_bn, name=f"branch_{i}")
+                use_bn=self.use_bn, dtype=self.dtype, name=f"branch_{i}")
             new_xyz, feat = branch(xyz, features, train)
             outs.append(feat)
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -92,26 +95,31 @@ class PointNet2EncoderFull(nn.Module):
 
     latent_dim: int = 256
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         xyz, feat = PointNetSetAbstractionMSG(
             npoint=512,
             scales=({"K": 16, "mlp": (32, 32, 64)}, {"K": 32, "mlp": (64, 64, 128)}),
-            use_bn=self.use_bn, name="sa1")(x, None, train)
+            use_bn=self.use_bn, dtype=self.dtype, name="sa1")(x, None, train)
         xyz, feat = PointNetSetAbstractionKNN(
             npoint=128, K=32, mlp=(128, 128, 256),
-            use_bn=self.use_bn, name="sa2")(xyz, feat, train)
+            use_bn=self.use_bn, dtype=self.dtype, name="sa2")(xyz, feat, train)
         xyz, feat = PointNetSetAbstractionKNN(
             npoint=32, K=32, mlp=(256, 256, 512),
-            use_bn=self.use_bn, name="sa3")(xyz, feat, train)
+            use_bn=self.use_bn, dtype=self.dtype, name="sa3")(xyz, feat, train)
         global_feat = jnp.max(feat, axis=1)                  # [B, 512]
-        h = TorchDense(512, use_bias=False, name="gc0")(global_feat)
+        h = TorchDense(512, use_bias=False, dtype=self.dtype,
+                       name="gc0")(global_feat)
         if self.use_bn:
-            h = nn.BatchNorm(use_running_average=not train, name="gc_bn")(h)
+            h = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                             name="gc_bn")(h)
         h = nn.relu(h)
-        latent = TorchDense(self.latent_dim, name="gc1")(h)
-        return latent, global_feat
+        # quantize_st downstream stays exact float32
+        latent = TorchDense(self.latent_dim, dtype=self.dtype,
+                            name="gc1")(h).astype(jnp.float32)
+        return latent, global_feat.astype(jnp.float32)
 
 
 class PCNDecoderSmall(nn.Module):
@@ -121,16 +129,19 @@ class PCNDecoderSmall(nn.Module):
     latent_dim: int = 256
     coarse_points: int = 512
     final_points: int = 8192
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, latent):
         B = latent.shape[0]
-        h = nn.relu(TorchDense(512, name="fc0")(latent))
-        coarse = TorchDense(self.coarse_points * 3, name="fc1")(h)
-        coarse = coarse.reshape(B, self.coarse_points, 3)
+        h = nn.relu(TorchDense(512, dtype=self.dtype, name="fc0")(latent))
+        coarse = TorchDense(self.coarse_points * 3, dtype=self.dtype,
+                            name="fc1")(h)
+        coarse = coarse.reshape(B, self.coarse_points, 3).astype(jnp.float32)
         expand_in = jnp.concatenate([coarse.reshape(B, -1), latent], axis=1)
-        h = nn.relu(TorchDense(1024, name="exp0")(expand_in))
-        fine = TorchDense(self.final_points * 3, name="exp1")(h)
+        h = nn.relu(TorchDense(1024, dtype=self.dtype, name="exp0")(expand_in))
+        fine = TorchDense(self.final_points * 3, dtype=self.dtype,
+                          name="exp1")(h).astype(jnp.float32)
         return coarse, fine.reshape(B, self.final_points, 3)
 
 
@@ -181,12 +192,14 @@ class PointCloudAE(nn.Module):
     latent_dim: int = 64
     latent_bins: int = 16
     npoints: int = 8192
+    dtype: Any = None
 
     def setup(self):
-        self.encoder = PointNet2EncoderFull(latent_dim=self.latent_dim)
+        self.encoder = PointNet2EncoderFull(latent_dim=self.latent_dim,
+                                            dtype=self.dtype)
         self.decoder = PCNDecoderSmall(
             latent_dim=self.latent_dim, coarse_points=512,
-            final_points=self.npoints)
+            final_points=self.npoints, dtype=self.dtype)
         self.prob = PPPEConditionalProbabilityModel(
             feature_dim=512, hidden_channels=128,
             latent_bins=self.latent_bins, latent_channels=self.latent_dim)

@@ -8,7 +8,7 @@ from pcc_tpu.ops instead of pytorch3d CUDA kernels.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,6 +31,7 @@ class PointnetSAModule(nn.Module):
     nsample: int
     mlp: Sequence[int]
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
@@ -49,7 +50,8 @@ class PointnetSAModule(nn.Module):
         else:
             grouped = grouped_xyz
 
-        out = PointwiseMLP(self.mlp, use_bn=self.use_bn, name="mlp")(grouped, train)
+        out = PointwiseMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype,
+                           name="mlp")(grouped, train)
         return new_xyz, jnp.max(out, axis=2)                 # [B, S, mlp[-1]]
 
 
@@ -64,19 +66,22 @@ class PointNetPP(nn.Module):
     sa3_mlp: Sequence[int] = (256, 256, 512)
     feature_dim: int = 1024
     use_bn: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, train: bool = False):
         sa1 = PointnetSAModule(
             npoint=self.points, radius=0.2, nsample=32,
-            mlp=(3,) + tuple(self.sa1_mlp), use_bn=self.use_bn, name="sa1")
+            mlp=(3,) + tuple(self.sa1_mlp), use_bn=self.use_bn,
+            dtype=self.dtype, name="sa1")
         sa2 = PointnetSAModule(
             npoint=128, radius=0.4, nsample=64,
-            mlp=tuple(self.sa2_mlp), use_bn=self.use_bn, name="sa2")
+            mlp=tuple(self.sa2_mlp), use_bn=self.use_bn,
+            dtype=self.dtype, name="sa2")
         sa3 = PointnetSAModule(
             npoint=32, radius=0.8, nsample=128,
             mlp=tuple(self.sa3_mlp) + (self.feature_dim,),
-            use_bn=self.use_bn, name="sa3")
+            use_bn=self.use_bn, dtype=self.dtype, name="sa3")
         xyz, feat = sa1(xyz, None, train)
         xyz, feat = sa2(xyz, feat, train)
         xyz, feat = sa3(xyz, feat, train)
@@ -90,6 +95,7 @@ class FoldingNet(nn.Module):
     points: int = 512         # width of the first folding MLP
     grid_size: int = 45
     feature_dim: int = 1024
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, latent):
@@ -102,10 +108,15 @@ class FoldingNet(nn.Module):
 
         tiled = jnp.repeat(latent[:, None, :], n, axis=1)    # [B, n, F]
         fold1 = PointwiseMLP((self.points, self.points, 3),
-                             relu=(True, True, False), name="mlp1")
-        coarse = fold1(jnp.concatenate([grid, tiled], axis=-1))
-        fold2 = PointwiseMLP((128, 128, 3), relu=(True, True, False), name="mlp2")
-        return fold2(jnp.concatenate([coarse, tiled], axis=-1))
+                             relu=(True, True, False), dtype=self.dtype,
+                             name="mlp1")
+        coarse = fold1(jnp.concatenate([grid, tiled], axis=-1).astype(
+            self.dtype or jnp.float32))
+        fold2 = PointwiseMLP((128, 128, 3), relu=(True, True, False),
+                             dtype=self.dtype, name="mlp2")
+        out = fold2(jnp.concatenate([coarse, tiled.astype(coarse.dtype)],
+                                    axis=-1))
+        return out.astype(jnp.float32)
 
 
 class PPPF_AE(nn.Module):
@@ -118,18 +129,21 @@ class PPPF_AE(nn.Module):
     d: int = 16
     L: int = 7
     dim: int = 1024
+    dtype: Any = None
 
     def setup(self):
-        self.encoder = PointNetPP(points=self.K, feature_dim=self.dim)
+        self.encoder = PointNetPP(points=self.K, feature_dim=self.dim,
+                                  dtype=self.dtype)
         self.decoder = FoldingNet(points=self.K, grid_size=self.d,
-                                  feature_dim=self.dim)
-        self.enc_proj = TorchDense(self.d)
-        self.dec_proj = TorchDense(self.dim)
+                                  feature_dim=self.dim, dtype=self.dtype)
+        self.enc_proj = TorchDense(self.d, dtype=self.dtype)
+        self.dec_proj = TorchDense(self.dim, dtype=self.dtype)
 
     def encode(self, xyz, train: bool = False):
         _, latent = self.encoder(xyz, train)
         latent = sigmoid_spread(latent, self.L)
-        return self.enc_proj(latent)                         # [B, d]
+        # quantizer arithmetic stays exact float32 under bf16 compute
+        return self.enc_proj(latent).astype(jnp.float32)     # [B, d]
 
     def decode(self, latent_q):
         return self.decoder(self.dec_proj(latent_q))         # [B, d*d, 3]
@@ -146,6 +160,7 @@ class PPPFConditionalProbabilityModel(nn.Module):
 
     d: int = 16
     L: int = 7
+    dtype: Any = None
 
     def setup(self):
         # The reference passes bn=False here (PPPF_AE.py:187-192), but its
@@ -157,13 +172,18 @@ class PPPFConditionalProbabilityModel(nn.Module):
             sa3_mlp=(256, 512, 1024),
             feature_dim=1024,
             use_bn=True,
+            dtype=self.dtype,
         )
         self.model_mlp = PointwiseMLP(
-            features=(512, 512, self.d * self.L), relu=(True, True, False))
+            features=(512, 512, self.d * self.L), relu=(True, True, False),
+            dtype=self.dtype)
 
     def __call__(self, sampled_xyz, train: bool = False):
         B, S, _ = sampled_xyz.shape
         _, feature = self.model_pnpp(sampled_xyz, train)
         tiled = jnp.repeat(feature[:, None, :], S, axis=1)
-        out = self.model_mlp(jnp.concatenate([sampled_xyz, tiled], axis=-1))
-        return nn.softmax(out.reshape(B, S, self.d, self.L), axis=-1)
+        out = self.model_mlp(jnp.concatenate(
+            [sampled_xyz.astype(tiled.dtype), tiled], axis=-1))
+        # softmax in f32: the PMF feeds the range coder's CDF quantization
+        return nn.softmax(out.reshape(B, S, self.d, self.L).astype(jnp.float32),
+                          axis=-1)

@@ -44,8 +44,9 @@ class PPPETrainState:
 
 
 def make_pppe_model(cfg: PPPEConfig) -> PointCloudAE:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     return PointCloudAE(latent_dim=cfg.latent_dim, latent_bins=cfg.L,
-                        npoints=cfg.N)
+                        npoints=cfg.N, dtype=dtype)
 
 
 def make_pppe_optimizer(lr: float, grad_clip: float = 1.0):
