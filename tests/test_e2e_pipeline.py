@@ -95,3 +95,63 @@ def test_full_pipeline(tmp_path):
     a = open(os.path.join(root, "decomp", "test_0.ply.bin.ply"), "rb").read()
     b = open(os.path.join(root, "decomp2", "test_0.ply.bin.ply"), "rb").read()
     assert a == b
+
+
+def test_attribute_pipeline(tmp_path):
+    """Colored clouds through train_attributes -> compress --attributes ->
+    decompress --attributes -> eval with color columns (extension e2e)."""
+    from pcc_tpu.cli import (
+        compress,
+        decompress,
+        eval as eval_cli,
+        train_attributes,
+    )
+    from pcc_tpu.io.ply import read_point_cloud_attr
+
+    root = str(tmp_path)
+    rng = np.random.default_rng(9)
+    for split, count in (("train", 3), ("test", 2)):
+        for i in range(count):
+            pc = (rng.random((N, 3)) * 2 - 1).astype(np.float32)
+            rgb = np.clip((pc + 1) / 2 * 255, 0, 255).astype(np.uint8)
+            save_point_cloud(pc, f"{split}_{i}.ply",
+                             path=os.path.join(root, split), rgb=rgb)
+
+    train_attributes.main([
+        "--train_glob", os.path.join(root, "train", "*.ply"),
+        "--model_save_folder", os.path.join(root, "model"),
+        "--N", str(N), "--max_steps", "2", "--step_window", "1",
+        "--batch_size", "1", "--d_a", "8", *FLAGS,
+    ])
+    for name in ("ae", "prob", "attr", "attr_prob"):
+        assert os.path.exists(os.path.join(root, "model", f"{name}.pkl"))
+
+    compress.main([
+        os.path.join(root, "test", "*.ply"),
+        os.path.join(root, "comp"),
+        os.path.join(root, "model"),
+        "--attributes", "--d_a", "8", *FLAGS,
+    ])
+    assert os.path.getsize(os.path.join(root, "comp", "test_0.ply.a.bin")) > 0
+
+    decompress.main([
+        os.path.join(root, "comp"),
+        os.path.join(root, "decomp"),
+        os.path.join(root, "model"),
+        "--attributes", "--d_a", "8", *FLAGS,
+    ])
+    out_pc, out_rgb = read_point_cloud_attr(
+        os.path.join(root, "decomp", "test_0.ply.bin.ply"))
+    assert out_pc.shape == (N, 3)
+    assert out_rgb is not None and out_rgb.shape == (N, 3)
+
+    eval_cli.main([
+        "--input_glob", os.path.join(root, "test", "*.ply"),
+        "--compressed_path", os.path.join(root, "comp"),
+        "--decompressed_path", os.path.join(root, "decomp"),
+        "--output_file", os.path.join(root, "eval.csv"),
+    ])
+    df = pd.read_csv(os.path.join(root, "eval.csv"))
+    assert "color_psnr" in df.columns and "attr_bpp" in df.columns
+    assert np.isfinite(df["color_psnr"]).all()
+    assert (df["attr_bpp"] > 0).all()
