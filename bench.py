@@ -240,9 +240,88 @@ def get_baseline():
     return val
 
 
+def profile_breakdown():
+    """Fine-grained single-chip breakdown: device encode program, device
+    cdf program, host range coding, full pipeline. Run with --profile;
+    prints human-readable lines (not the JSON contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcc_tpu.cli._common import init_params_cpu, setup_jax
+    from pcc_tpu.codec import Codec, _fetch_all
+    from pcc_tpu.coding import rangecoder
+    from pcc_tpu.coding.octree_host import emit_octree_bits, pack_bits
+    from pcc_tpu.config import CodecConfig
+
+    setup_jax()
+    cfg = CodecConfig(compute_dtype="bfloat16")
+    ae_params, prob_params = init_params_cpu(11, cfg)
+    codec = Codec(cfg, ae_params, prob_params, batch_size=BATCH)
+    clouds = synthetic_clouds(BATCH)
+    pcs = jnp.asarray(np.stack(clouds))
+    starts = jnp.zeros((BATCH,), jnp.int32)
+
+    enc = codec._encode_fn(cfg.N)
+    cdf_fn, dec_fn = codec._decode_fns(cfg.S)
+
+    # warmup/compile
+    res = enc(codec.ae_params, codec.prob_params, pcs, starts)
+    cdf = cdf_fn(codec.prob_params, res.rec_xyz)
+    jax.block_until_ready((res, cdf))
+
+    def timed(label, fn, reps=5):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+            jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{label}: {dt*1e3:.1f} ms/batch{BATCH} "
+              f"({dt*1e3/BATCH:.3f} ms/cloud)")
+        return out, dt
+
+    res, t_enc = timed("device encode program",
+                       lambda: enc(codec.ae_params, codec.prob_params, pcs, starts))
+    cdf, t_cdf = timed("device cdf program",
+                       lambda: cdf_fn(codec.prob_params, res.rec_xyz))
+
+    # one empty round trip approximates the tunnel latency floor
+    one = jnp.zeros((1,), jnp.float32)
+    _, t_rt = timed("device round trip (1 scalar)", lambda: one + 1, reps=20)
+
+    syms, cdfs, depths, codes = _fetch_all(res.sym, cdf, res.depth,
+                                           res.sorted_codes)
+    syms = syms.astype(np.int16)
+    cdfs = cdfs.astype(np.float64)
+    codes = codes.astype(np.int64)
+
+    t0 = time.perf_counter()
+    for j in range(BATCH):
+        rangecoder.encode_float_cdf(cdfs[j], syms[j])
+    t_rc = time.perf_counter() - t0
+    print(f"host range coder (serial): {t_rc*1e3:.1f} ms/batch{BATCH} "
+          f"({t_rc*1e3/BATCH:.3f} ms/cloud); threaded in the codec")
+
+    t0 = time.perf_counter()
+    for j in range(BATCH):
+        d = int(depths[j])
+        pack_bits(emit_octree_bits(codes[j] >> (3 * (cfg.max_depth - d)), d))
+    t_bits = time.perf_counter() - t0
+    print(f"host octree serializer (serial): {t_bits*1e3:.1f} ms/batch{BATCH}")
+
+    t0 = time.perf_counter()
+    codec.compress_many(clouds)
+    t_full = time.perf_counter() - t0
+    print(f"full compress_many: {t_full*1e3:.1f} ms/batch{BATCH} "
+          f"({t_full*1e3/BATCH:.3f} ms/cloud) -> overlap hides "
+          f"{(t_enc+t_cdf+t_rc+t_bits-t_full)*1e3:.1f} ms of the serial sum")
+
+
 def main():
     if "--baseline" in sys.argv:
         print(bench_baseline())
+        return
+    if "--profile" in sys.argv:
+        profile_breakdown()
         return
     value = bench_tpu()
     baseline = get_baseline()

@@ -36,6 +36,8 @@ def build_parser():
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--batch_size", type=int, default=64,
                    help="Clouds per device dispatch.")
+    p.add_argument("--profile_dir", default=None,
+                   help="Write a jax.profiler trace of the decompress run here.")
     p.add_argument("--d_a", type=int, default=16,
                    help="Attribute bottleneck size (with --attributes).")
     p.add_argument("--attributes", action="store_true",
@@ -78,9 +80,14 @@ def main(argv=None):
         streams.append(tuple(blobs))
 
     codec.decompress(*streams[0])  # warmup/compile
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
     start = time.time()
     clouds = codec.decompress_many(streams)
     elapsed = time.time() - start
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile_dir}")
 
     for name, pc in zip(names, clouds):
         save_point_cloud(pc, name + ".bin.ply", path=args.decompressed_path)

@@ -74,6 +74,9 @@ def build_parser():
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--jax_debug_nans", action="store_true",
                    help="Enable jax debug_nans (fail fast on NaN).")
+    p.add_argument("--profile_dir", default=None,
+                   help="Write a jax.profiler trace of the first logging "
+                        "window of training steps here.")
     return p
 
 
@@ -120,6 +123,10 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed + 1)
     global_step = start_step
+    profiling = False
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
     B = args.batch_size
     window = {"loss": [], "fbpp": [], "bpp": []}
     t_window = time.time()
@@ -156,6 +163,10 @@ def main(argv=None):
                 window = {"loss": [], "fbpp": [], "bpp": []}
                 t_window = time.time()
                 save_checkpoint(args.model_save_folder, state, global_step)
+                if profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace written to {args.profile_dir}")
         if global_step >= args.max_steps:
             break
 
