@@ -102,6 +102,73 @@ def compute_bitrate(num_bytes: int, num_points: int) -> float:
     return 8.0 * num_bytes / num_points
 
 
+@functools.partial(jax.jit, static_argnames=("normal_knn", "uc_k"))
+def _eval_batch_device(origs: jnp.ndarray, recons: jnp.ndarray,
+                       normal_knn: int = 30, uc_k: int = 1024):
+    """All geometry eval metrics for a batch of (orig, recon) pairs in ONE
+    program: D1/D2 MSEs + bbox diag, uniformity-region variances, and the
+    min-max-normalized chamfer. One dispatch per shape-group instead of
+    several per file — at reference scale (2,467 clouds) the per-dispatch
+    tunnel round trip dominates the reference-style per-file flow.
+
+    origs: [B, N, 3]; recons: [B, M, 3].
+    """
+
+    def one(orig, recon):
+        p2point_mse, p2plane_mse, diag_sq = _d1_d2_device(
+            orig, recon, normal_knn=normal_knn)
+        var_in = _uc_region_var(orig, K=uc_k)
+        var_out = _uc_region_var(recon, K=uc_k)
+        # normalized chamfer by the input's global min/max (eval.py:199-205)
+        lo = jnp.min(orig)
+        hi = jnp.max(orig)
+        a = (orig - lo) / (hi - lo)
+        b = (recon - lo) / (hi - lo)
+        ch, _ = chamfer_distance(b[None], a[None])
+        return p2point_mse, p2plane_mse, diag_sq, var_in, var_out, ch
+
+    return jax.vmap(one)(origs, recons)
+
+
+_EVAL_CHUNK = 16
+
+
+def eval_batch(origs: np.ndarray, recons: np.ndarray,
+               chunk: int = _EVAL_CHUNK) -> list[dict]:
+    """Batched metric computation: [B, N, 3] originals + [B, M, 3] recons ->
+    per-pair dicts matching compute_p2point_p2plane_psnr / calc_uc /
+    normalized_chamfer semantics (device normals; for file-borne normals
+    use the per-file APIs).
+
+    Pairs are dispatched in fixed-size chunks (padded by repetition) so the
+    compiled program is reused across dataset sizes and device memory stays
+    bounded regardless of how many clouds the eval run covers."""
+    B = origs.shape[0]
+    uc_k = min(1024, int(origs.shape[1]), int(recons.shape[1]))
+    cols = [np.empty(B) for _ in range(6)]
+    for lo in range(0, B, chunk):
+        sel = list(range(lo, min(lo + chunk, B)))
+        pad = chunk - len(sel)
+        idx = sel + [sel[-1]] * pad
+        parts = _eval_batch_device(
+            jnp.asarray(origs[idx]), jnp.asarray(recons[idx]), uc_k=uc_k)
+        for col, part in zip(cols, parts):
+            col[sel] = np.asarray(part)[: len(sel)]
+    p2pt, p2pl, diag, vin, vout, ch = cols
+    out = []
+    for i in range(B):
+        d1 = 10 * np.log10(diag[i] / p2pt[i]) if p2pt[i] > 0 else float("inf")
+        d2 = 10 * np.log10(diag[i] / p2pl[i]) if p2pl[i] > 0 else float("inf")
+        uc = vout[i] / vin[i] if vin[i] > 0 else float("inf")
+        out.append({
+            "p2point_psnr": float(d1),
+            "p2plane_psnr": float(d2),
+            "uc": float(uc),
+            "chamfer": float(ch[i]),
+        })
+    return out
+
+
 @jax.jit
 def _color_mse_device(in_pc, in_rgb01, out_pc, out_rgb01):
     _, idx = nearest_neighbor(out_pc, in_pc)

@@ -71,3 +71,28 @@ def test_uc_identity_is_one(rng):
 
 def test_bitrate():
     assert compute_bitrate(1024, 8192) == 1.0
+
+
+def test_eval_batch_matches_per_file(rng):
+    """Batched eval metrics must equal the per-file APIs (same programs,
+    vmapped + chunked)."""
+    from pcc_tpu.metrics import eval_batch
+
+    B, N, M = 5, 700, 600
+    origs = rng.random((B, N, 3)).astype(np.float32)
+    recons = np.stack([
+        origs[i, rng.permutation(N)[:M]]
+        + rng.standard_normal((M, 3)).astype(np.float32) * 0.01
+        for i in range(B)
+    ])
+    batched = eval_batch(origs, recons, chunk=2)  # forces padding + chunks
+    for i in range(B):
+        want = compute_p2point_p2plane_psnr(origs[i], recons[i])
+        assert batched[i]["p2point_psnr"] == pytest.approx(
+            want["p2point_psnr"], abs=1e-3)
+        assert batched[i]["p2plane_psnr"] == pytest.approx(
+            want["p2plane_psnr"], abs=1e-3)
+        assert batched[i]["uc"] == pytest.approx(
+            calc_uc(origs[i], recons[i]), rel=1e-4)
+        assert batched[i]["chamfer"] == pytest.approx(
+            normalized_chamfer(origs[i], recons[i]), rel=1e-4)
