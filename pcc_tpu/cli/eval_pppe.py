@@ -16,11 +16,7 @@ import numpy as np
 import pandas as pd
 
 from pcc_tpu.io import read_point_cloud
-from pcc_tpu.metrics import (
-    compute_bitrate,
-    compute_p2point_p2plane_psnr,
-    normalized_chamfer,
-)
+from pcc_tpu.metrics import compute_bitrate, eval_batch
 
 
 def build_parser():
@@ -47,6 +43,7 @@ def main(argv=None):
         "n_points_input", "n_points_output", "bpp")}
 
     print("Evaluating...")
+    pending = []
     for f, name in zip(files, filenames):
         comp_candidates = glob(
             os.path.join(args.compressed_path, "**", name.replace(".ply", ".bin")),
@@ -56,26 +53,43 @@ def main(argv=None):
             recursive=True)
         if not comp_candidates or not decomp_candidates:
             continue
-        comp_f, decomp_f = comp_candidates[0], decomp_candidates[0]
+        pending.append({
+            "name": name,
+            "in": read_point_cloud(f),
+            "out": read_point_cloud(decomp_candidates[0]),
+            "bytes": os.path.getsize(comp_candidates[0]),
+        })
 
-        input_pc = read_point_cloud(f)
-        decomp_pc = read_point_cloud(decomp_f)
-        psnr = compute_p2point_p2plane_psnr(input_pc, decomp_pc)
+    # batched geometry metrics per (N, M) shape group (see cli/eval.py)
+    by_shape: dict[tuple, list[int]] = {}
+    for i, item in enumerate(pending):
+        by_shape.setdefault(
+            (item["in"].shape[0], item["out"].shape[0]), []).append(i)
+    for idxs in by_shape.values():
+        origs = np.stack([pending[i]["in"] for i in idxs])
+        recons = np.stack([pending[i]["out"] for i in idxs])
+        for i, m in zip(idxs, eval_batch(origs, recons)):
+            pending[i]["metrics"] = m
 
-        rows["filename"].append(name)
-        rows["p2pointPSNR"].append(round(psnr["p2point_psnr"], 3))
-        rows["p2planePSNR"].append(round(psnr["p2plane_psnr"], 3))
-        rows["chamfer_distance"].append(normalized_chamfer(input_pc, decomp_pc))
-        rows["n_points_input"].append(input_pc.shape[0])
-        rows["n_points_output"].append(decomp_pc.shape[0])
-        rows["bpp"].append(compute_bitrate(os.path.getsize(comp_f), input_pc.shape[0]))
+    for item in pending:
+        m = item["metrics"]
+        rows["filename"].append(item["name"])
+        rows["p2pointPSNR"].append(round(m["p2point_psnr"], 3))
+        rows["p2planePSNR"].append(round(m["p2plane_psnr"], 3))
+        rows["chamfer_distance"].append(m["chamfer"])
+        rows["n_points_input"].append(item["in"].shape[0])
+        rows["n_points_output"].append(item["out"].shape[0])
+        rows["bpp"].append(compute_bitrate(item["bytes"], item["in"].shape[0]))
 
-    print(
-        f"Done! The average p2pointPSNR: {round(float(np.mean(rows['p2pointPSNR'])), 3)} | "
-        f"p2plane PSNR: {round(float(np.mean(rows['p2planePSNR'])), 3)} | "
-        f"chamfer distance: {round(float(np.mean(rows['chamfer_distance'])), 8)} | "
-        f"bpp: {round(float(np.mean(rows['bpp'])), 3)}"
-    )
+    if rows["filename"]:
+        print(
+            f"Done! The average p2pointPSNR: {round(float(np.mean(rows['p2pointPSNR'])), 3)} | "
+            f"p2plane PSNR: {round(float(np.mean(rows['p2planePSNR'])), 3)} | "
+            f"chamfer distance: {round(float(np.mean(rows['chamfer_distance'])), 8)} | "
+            f"bpp: {round(float(np.mean(rows['bpp'])), 3)}"
+        )
+    else:
+        print("Done! No input/decompressed file pairs matched — nothing to average.")
     os.makedirs(os.path.dirname(args.output_file) or ".", exist_ok=True)
     pd.DataFrame(rows).to_csv(args.output_file)
     print(f"Evaluation results saved to {args.output_file}")

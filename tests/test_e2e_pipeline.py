@@ -155,3 +155,54 @@ def test_attribute_pipeline(tmp_path):
     assert "color_psnr" in df.columns and "attr_bpp" in df.columns
     assert np.isfinite(df["color_psnr"]).all()
     assert (df["attr_bpp"] > 0).all()
+
+
+def test_pppe_pipeline(tmp_path):
+    """PPPE quartet end to end: train_pppe_pcd_ae -> pppe_pcd_compress ->
+    pppe_pcd_decompress -> eval_pppe (the reference's fast pipeline)."""
+    from pcc_tpu.cli import (
+        eval_pppe,
+        pppe_pcd_compress,
+        pppe_pcd_decompress,
+        train_pppe_pcd_ae,
+    )
+
+    root = str(tmp_path)
+    _make_data(root)
+    pppe_flags = ["--N", str(N), "--K", "16", "--L", "7"]
+
+    train_pppe_pcd_ae.main([
+        "--train_glob", os.path.join(root, "train", "*.ply"),
+        "--model_save_folder", os.path.join(root, "model"),
+        "--max_steps", "2", "--step_window", "1", "--batch_size", "1",
+        *pppe_flags,
+    ])
+    assert os.path.exists(os.path.join(root, "model", "ae_latest.pkl"))
+
+    pppe_pcd_compress.main([
+        os.path.join(root, "test", "*.ply"),
+        os.path.join(root, "comp"),
+        os.path.join(root, "model"),
+        *pppe_flags,
+    ])
+    bins = glob(os.path.join(root, "comp", "**", "*.bin"), recursive=True)
+    assert len(bins) == 2
+
+    pppe_pcd_decompress.main([
+        os.path.join(root, "comp", "**", "*.bin"),
+        os.path.join(root, "decomp"),
+        os.path.join(root, "model"),
+        *pppe_flags,
+    ])
+
+    eval_pppe.main([
+        "--input_glob", os.path.join(root, "test", "*.ply"),
+        "--compressed_path", os.path.join(root, "comp"),
+        "--decompressed_path", os.path.join(root, "decomp"),
+        "--output_file", os.path.join(root, "eval_pppe.csv"),
+    ])
+    df = pd.read_csv(os.path.join(root, "eval_pppe.csv"))
+    assert len(df) == 2
+    assert np.isfinite(df["p2pointPSNR"]).all()
+    assert (df["bpp"] > 0).all()
+    assert (df["n_points_output"] == N).all()
