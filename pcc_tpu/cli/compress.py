@@ -36,6 +36,11 @@ def build_parser():
     p.add_argument("--K", type=int, default=256, help="Number of points in each patch.")
     p.add_argument("--d", type=int, default=16, help="Bottleneck size.")
     p.add_argument("--L", type=int, default=7, help="Quantization Level.")
+    p.add_argument("--model", default="AE",
+                   help="Type of the model (AE or PPPF-AE). The reference "
+                        "trains both but can only compress with AE "
+                        "(compress.py:112-122 drives IPDAE submodules); here "
+                        "both families share the binary pipeline.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--batch_size", type=int, default=64,
                    help="Clouds per device dispatch.")
@@ -70,7 +75,8 @@ def main(argv=None):
     print(f"Processing on device: {jax.devices()[0]}")
 
     cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L,
-                      compute_dtype="bfloat16" if args.bf16 else "float32")
+                      compute_dtype="bfloat16" if args.bf16 else "float32",
+                      model=args.model)
     os.makedirs(args.compressed_path, exist_ok=True)
 
     files = sorted(glob(args.input_glob, recursive=True))

@@ -33,6 +33,9 @@ def build_parser():
     p.add_argument("--K", type=int, default=256, help="Number of points in each patch.")
     p.add_argument("--d", type=int, default=16, help="Bottleneck size.")
     p.add_argument("--L", type=int, default=7, help="Quantization Level.")
+    p.add_argument("--model", default="AE",
+                   help="Type of the model (AE or PPPF-AE); must match the "
+                        "compress-side setting.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--batch_size", type=int, default=64,
                    help="Clouds per device dispatch.")
@@ -56,7 +59,8 @@ def main(argv=None):
     print(f"Processing on device: {jax.devices()[0]}")
 
     cfg = CodecConfig(N0=args.N0, ALPHA=args.ALPHA, K=args.K, d=args.d, L=args.L,
-                      compute_dtype="bfloat16" if args.bf16 else "float32")
+                      compute_dtype="bfloat16" if args.bf16 else "float32",
+                      model=args.model)
     os.makedirs(args.decompressed_path, exist_ok=True)
 
     files = sorted(glob(os.path.join(args.compressed_path, "*.s.bin")))

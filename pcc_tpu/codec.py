@@ -55,6 +55,13 @@ def _fetch_all(*arrays):
 
 def make_models(cfg: CodecConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    if cfg.model == "PPPF-AE":
+        from pcc_tpu.models.pppf import (
+            PPPF_AE, PPPFConditionalProbabilityModel)
+
+        ae = PPPF_AE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L, dtype=dtype)
+        prob = PPPFConditionalProbabilityModel(d=cfg.d, L=cfg.L, dtype=dtype)
+        return ae, prob
     ae = PatchAE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L, sa_knn=cfg.sa_knn,
                  dtype=dtype)
     prob = ConditionalProbabilityModel(d=cfg.d, L=cfg.L, dtype=dtype)
@@ -79,6 +86,19 @@ class EncodeResult(NamedTuple):
     rec_xyz: jnp.ndarray      # [S, 3] decoded skeleton (normalized coords)
 
 
+def _skeleton_geometry(pc01, sampled, *, cfg: CodecConfig):
+    """Octree analysis + KNN patch extraction for one cloud — the
+    model-independent geometry half of the encoder (train.py:175-192).
+
+    Patches form around the *decoded* skeleton (train.py:185-189): the
+    decoder only ever sees octree-reconstructed centroids."""
+    octree = octree_analyze(sampled, cfg.N, cfg.min_bpp, cfg.max_depth)
+    _, _, grouped = knn_points(octree.rec_xyz[None], pc01[None], K=cfg.K,
+                               return_nn=True)
+    patches = (grouped[0] - octree.rec_xyz[:, None, :]) * cfg.patch_scale
+    return octree, patches
+
+
 def _encode_from_skeleton(ae_params, prob_params, pc01, sampled, center,
                           longest, *, cfg: CodecConfig) -> EncodeResult:
     """Per-cloud analysis transform after FPS (vmapped over the batch).
@@ -91,14 +111,9 @@ def _encode_from_skeleton(ae_params, prob_params, pc01, sampled, center,
     centers are (int + 0.5) * 2^-depth, exact dyadic float32 arithmetic.
     """
     ae, _ = make_models(cfg)
-    octree = octree_analyze(sampled, cfg.N, cfg.min_bpp, cfg.max_depth)
+    octree, patches = _skeleton_geometry(pc01, sampled, cfg=cfg)
 
-    # Patches around the *decoded* skeleton (train.py:185-189) — the decoder
-    # only ever sees octree-reconstructed centroids.
-    _, _, grouped = knn_points(octree.rec_xyz[None], pc01[None], K=cfg.K, return_nn=True)
-    patches = (grouped[0] - octree.rec_xyz[:, None, :]) * cfg.patch_scale
-
-    latent = ae.apply(ae_params, patches, method=PatchAE.encode)     # [S, d]
+    latent = ae.apply(ae_params, patches, method="encode")           # [S, d]
     latent_q = jnp.round(latent)
     sym = jnp.clip(latent_q + cfg.L // 2, 0, cfg.L - 1).astype(jnp.int32)
 
@@ -122,6 +137,28 @@ def encode_clouds(ae_params, prob_params, pcs, fps_starts, *,
         functools.partial(normalize, margin=cfg.margin))(pcs)
     idx = fps_batch(pc01, cfg.S, fps_starts)
     sampled = jnp.take_along_axis(pc01, idx[..., None], axis=1)       # [B, S, 3]
+    if cfg.model == "PPPF-AE":
+        # The PN++ encoder itself contains FPS/ball-query stages, so instead
+        # of nesting it under a per-cloud vmap (which would put the Pallas
+        # FPS kernel under a batching transform), flatten all B*S patches
+        # into the encoder's own batch axis — also the MXU-friendlier shape.
+        ae, _ = make_models(cfg)
+        octree, patches = jax.vmap(
+            functools.partial(_skeleton_geometry, cfg=cfg))(pc01, sampled)
+        B, S = patches.shape[:2]
+        latent = ae.apply(ae_params, patches.reshape(B * S, cfg.K, 3),
+                          method="encode")                           # [B*S, d]
+        sym = jnp.clip(jnp.round(latent) + cfg.L // 2, 0,
+                       cfg.L - 1).astype(jnp.int32).reshape(B, S, cfg.d)
+        return EncodeResult(
+            sym=sym,
+            sorted_codes=octree.sorted_codes,
+            depth=octree.depth,
+            skeleton_bits=octree.total_bits,
+            center=center,
+            longest=longest,
+            rec_xyz=octree.rec_xyz,
+        )
     return jax.vmap(
         functools.partial(_encode_from_skeleton, cfg=cfg),
         in_axes=(None, None, 0, 0, 0, 0),
@@ -143,12 +180,22 @@ def skeleton_cdf(prob_params, rec_xyz, *, cfg: CodecConfig):
     return pmf_to_cdf(pmf)
 
 
+def skeleton_cdf_batch(prob_params, rec_xyz, *, cfg: CodecConfig):
+    """Batched skeleton CDF [B, S, 3] -> [B, S, d, L+1]. Used for models
+    whose probability backbone itself contains FPS/ball-query stages (PPPF):
+    feeding the native batch axis keeps the Pallas FPS kernel out of a vmap
+    batching transform."""
+    _, prob = make_models(cfg)
+    return pmf_to_cdf(prob.apply(prob_params, rec_xyz))
+
+
 def decode_cloud(ae_params, sym, rec_xyz, center, longest, *, cfg: CodecConfig):
     """Synthesis transform: symbols + skeleton -> cloud [S*k, 3]
     (decompress.py:93-116)."""
     ae, _ = make_models(cfg)
     latent_q = sym.astype(jnp.float32) - cfg.L // 2
-    patches = ae.apply(ae_params, latent_q, method=PatchAE.decode)    # [S, k, 3]
+    # [S, k, 3] for IPDAE; [S, d*d, 3] for PPPF (PPPF_AE.py:118-123)
+    patches = ae.apply(ae_params, latent_q, method="decode")
     patches = patches / cfg.patch_scale
     pc01 = (patches + rec_xyz[:, None, :]).reshape(-1, 3)
     return denormalize(pc01, center, longest, cfg.margin)
@@ -193,11 +240,15 @@ class Codec:
             # N is inferred as S*k on the decode side (decompress.py:104-107)
             # so the patch scale matches whatever N the encoder saw.
             cfg = self.cfg.with_n(S * self.cfg.k)
-            self._decode_cache[S] = (
-                jax.jit(jax.vmap(
+            if cfg.model == "PPPF-AE":
+                cdf_fn = jax.jit(functools.partial(skeleton_cdf_batch, cfg=cfg))
+            else:
+                cdf_fn = jax.jit(jax.vmap(
                     functools.partial(skeleton_cdf, cfg=cfg),
                     in_axes=(None, 0),
-                )),
+                ))
+            self._decode_cache[S] = (
+                cdf_fn,
                 jax.jit(jax.vmap(
                     functools.partial(decode_cloud, cfg=cfg),
                     in_axes=(None, 0, 0, 0, 0),

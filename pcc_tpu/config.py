@@ -50,6 +50,12 @@ class CodecConfig:
     # counterpart of the reference's AMP autocast (train.py:168,275); params,
     # optimizer state, quantizer arithmetic and the PMF softmax stay float32.
     compute_dtype: str = "float32"
+    # patch autoencoder family: "AE" (IPDAE, AE.py:12-55) or "PPPF-AE"
+    # (PN++/FoldingNet, PPPF_AE.py:114-150). The reference trains both
+    # (train.py:56-68) but its compress.py drives IPDAE submodules directly
+    # (ae.sa/ae.pn, compress.py:112-122) and so cannot code PPPF streams;
+    # here both families share the full binary pipeline (extension).
+    model: str = "AE"
 
     @property
     def S(self) -> int:

@@ -75,3 +75,40 @@ def test_deterministic(rng, codec):
     a = codec.compress(pc)
     b = codec.compress(pc)
     assert a == b
+
+
+# --- PPPF-AE through the full binary pipeline (extension: the reference's
+# compress.py drives IPDAE submodules directly and cannot code PPPF) -------
+
+CFG_PPPF = CodecConfig(N=512, K=64, d=4, L=7, model="PPPF-AE")
+
+
+@pytest.fixture(scope="module")
+def pppf_codec():
+    ae_params, prob_params = init_params(jax.random.key(11), CFG_PPPF)
+    return Codec(CFG_PPPF, ae_params, prob_params)
+
+
+def test_pppf_compress_decompress_roundtrip(rng, pppf_codec):
+    pc = _cloud(rng, n=CFG_PPPF.N)
+    p, s, c = pppf_codec.compress(pc)
+    assert len(c) == 16
+    out = pppf_codec.decompress(p, s, c)
+    # FoldingNet emits d^2 points per patch (PPPF_AE.py:118-123)
+    assert out.shape == (CFG_PPPF.S * CFG_PPPF.d ** 2, 3)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() < 100
+
+
+def test_pppf_latent_stream_exact(rng, pppf_codec):
+    """Range-decoded PPPF symbols must equal the encoded symbols: the PPPF
+    CPM sees only the transmitted skeleton, like the IPDAE one."""
+    pc = _cloud(rng, n=CFG_PPPF.N)
+    pc2 = _cloud(rng, n=CFG_PPPF.N)
+    streams = pppf_codec.compress_many([pc, pc2])
+    outs = pppf_codec.decompress_many(streams)
+    assert len(outs) == 2
+    for out in outs:
+        assert out.shape == (CFG_PPPF.S * CFG_PPPF.d ** 2, 3)
+    # determinism across calls (BN runs in inference mode on both sides)
+    assert pppf_codec.compress(pc) == streams[0]
