@@ -97,6 +97,51 @@ def test_full_pipeline(tmp_path):
     assert a == b
 
 
+def test_pppf_pipeline(tmp_path):
+    """PPPF-AE through the CLIs: train --model PPPF-AE, then the binary
+    codec with --model PPPF-AE (extension — the reference can train PPPF
+    but compress.py only drives IPDAE submodules)."""
+    from pcc_tpu.cli import compress, decompress, eval as eval_cli, train
+
+    root = str(tmp_path)
+    _make_data(root)
+    pppf_flags = [*FLAGS, "--model", "PPPF-AE", "--d", "4"]
+
+    train.main([
+        "--train_glob", os.path.join(root, "train", "*.ply"),
+        "--model_save_folder", os.path.join(root, "model"),
+        "--N", str(N), "--max_steps", "2", "--step_window", "1",
+        "--batch_size", "1", *pppf_flags,
+    ])
+    assert os.path.exists(os.path.join(root, "model", "ae.pkl"))
+
+    compress.main([
+        os.path.join(root, "test", "*.ply"),
+        os.path.join(root, "comp"),
+        os.path.join(root, "model"),
+        "--batch_size", "2", *pppf_flags,
+    ])
+    decompress.main([
+        os.path.join(root, "comp"),
+        os.path.join(root, "decomp"),
+        os.path.join(root, "model"),
+        "--batch_size", "2", *pppf_flags,
+    ])
+    # FoldingNet emits d^2 points per patch -> S * d^2 output points
+    out = read_point_cloud(os.path.join(root, "decomp", "test_0.ply.bin.ply"))
+    assert out.shape == (N * 2 // K * 4 ** 2, 3)
+
+    eval_cli.main([
+        "--input_glob", os.path.join(root, "test", "*.ply"),
+        "--compressed_path", os.path.join(root, "comp"),
+        "--decompressed_path", os.path.join(root, "decomp"),
+        "--output_file", os.path.join(root, "eval.csv"),
+    ])
+    df = pd.read_csv(os.path.join(root, "eval.csv"))
+    assert len(df) == 2
+    assert np.isfinite(df["p2pointPSNR"]).all()
+
+
 def test_attribute_pipeline(tmp_path):
     """Colored clouds through train_attributes -> compress --attributes ->
     decompress --attributes -> eval with color columns (extension e2e)."""
