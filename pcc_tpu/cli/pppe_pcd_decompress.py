@@ -1,9 +1,21 @@
 """PPPE fast decompression (reference pppe_pcd_decompress.py CLI).
 
-Replicated quirk (SURVEY.md §7): the reference computes the sigmoid-spread
-quantized latent but feeds the UNQUANTIZED latent to the decoder
-(pppe_pcd_decompress.py:42-48). That defines observable behavior, so it is
-the default here; --use_quantized applies the quantized latent instead.
+Replicated quirk (SURVEY.md §7): the reference maps the loaded latent
+through the IPDAE-style sigmoid spread, computes its rounding, then feeds
+the UNROUNDED sigmoid-spread value to the decoder
+(pppe_pcd_decompress.py:42-48). That transform belongs to the IPDAE
+quantizer, not to PointCloudAE — whose training decoder only ever sees its
+own `quantize_st` output, integer bins in [0, latent_bins-1]
+(pppe_pcd_ae.py:719-735,869-876) — so the reference decode is out of
+distribution for every checkpoint its own trainer produces. (The reference
+CLI cannot demonstrate this: it crashes at startup — pppe_pcd_compress.py:77
+passes an `L=` kwarg PointCloudAE.__init__ does not accept, and
+pppe_pcd_decompress.py:59 builds latent_dim=64 against train's 256.)
+
+Default replicates the reference source's sigmoid-spread behavior for
+parity; --use_quantized instead applies the model's own quantizer
+(round(clamp(latent, q_min, q_max)), exactly the training-time path) and is
+what the committed PPPE golden artifact uses — see eval/GOLDEN.md.
 """
 
 from __future__ import annotations
@@ -34,8 +46,10 @@ def build_parser():
     p.add_argument("--L", type=int, default=7, help="Quantization level.")
     p.add_argument("--best", action="store_true")
     p.add_argument("--use_quantized", action="store_true",
-                   help="Feed the quantized latent to the decoder (fixes the "
-                        "reference's unquantized-decode quirk).")
+                   help="Feed the model's own quantized latent "
+                        "(round(clamp(latent, q_min, q_max)), the training-"
+                        "time path) to the decoder instead of the "
+                        "reference's vestigial sigmoid-spread transform.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     return p
 
@@ -63,9 +77,16 @@ def main(argv=None):
     print(f"Found {len(files)} compressed files.")
     for f in files:
         latent = jnp.asarray(load_binary(f))
-        spread = args.L - 0.2
-        latent_q = jnp.round(jax.nn.sigmoid(latent) * spread - spread / 2)
-        z = latent_q if args.use_quantized else latent
+        if args.use_quantized:
+            # the training-time path: PointCloudAE.quantize_st's forward
+            # (clamp to [q_min, q_max] = [0, latent_bins-1], round), with
+            # latent_bins = L as in make_pppe_model
+            z = jnp.round(jnp.clip(latent, 0.0, args.L - 1.0))
+        else:
+            # reference source behavior: sigmoid spread computed, rounding
+            # discarded, unrounded value decoded (pppe_pcd_decompress.py:42-48)
+            spread = args.L - 0.2
+            z = jax.nn.sigmoid(latent) * spread - spread / 2
         _, fine = decode(variables, z)
         out = rel_output_path(f, args.input_glob, args.decompressed_path, "")
         out_dir, name = os.path.split(out)

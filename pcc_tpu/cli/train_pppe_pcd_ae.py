@@ -6,6 +6,14 @@ step skip, best/latest checkpoints by windowed mean loss, train.npy cache,
 dataset-norm stats computed and saved to dataset_norm.pkl but NOT applied
 (the reference computes them and leaves the normalize call commented out,
 train_pppe:189-190,283-287).
+
+Consequence of that replicated quirk: training sees RAW clouds while
+pppe_pcd_compress normalizes each cloud to the unit cube at encode time
+(pppe_pcd_compress.py:55-66), so training data must already live in ~[0,1]
+— which sample_modelnet's min-max normalization guarantees for the
+reference's datasets — or the encoder sees a train/infer distribution
+mismatch and reconstruction quality collapses (measured: 12 dB vs 32 dB D1
+on the same shapes, raw vs [0,1]-normalized training sets).
 """
 
 from __future__ import annotations

@@ -62,3 +62,13 @@ def test_goldens_quality_tiers():
     preservation = df["n_points_output"] / df["n_points_input"]
     assert (preservation >= 0.95).all()
     assert np.isfinite(df["chamfer_distance"]).all()
+
+
+def test_pppe_golden_stats():
+    df = _load("SyntheticSurfaces_PPPE.csv")
+    assert len(df) == 32
+    assert df["p2pointPSNR"].mean() == pytest.approx(32.88, abs=0.05)
+    assert df["chamfer_distance"].mean() == pytest.approx(1.93e-3, rel=0.05)
+    # raw-float32-latent stream: 256 floats + uint32 header over 8192 pts
+    assert df["bpp"].mean() == pytest.approx((4 + 256 * 4) * 8 / 8192, abs=1e-6)
+    assert (df["n_points_output"] == 8192).all()

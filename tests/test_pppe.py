@@ -133,3 +133,40 @@ def test_pppe_binary_format(tmp_path):
     assert n == 16
     back = load_binary(path)
     np.testing.assert_array_equal(back, latent[None])
+
+
+def test_pppe_use_quantized_decode_matches_training_path(model_and_vars,
+                                                         tmp_path, rng):
+    """--use_quantized must feed the decoder exactly what training fed it:
+    round(clamp(latent, 0, L-1)) == the per-point quantize_st collapsed by
+    the mean (all rows identical after tiling), models/pppe.py:209-217."""
+    from pcc_tpu.cli import pppe_pcd_compress, pppe_pcd_decompress
+    from pcc_tpu.io import read_point_cloud, save_point_cloud
+    from pcc_tpu.train.checkpoint import save_pppe_checkpoint
+    from pcc_tpu.train.steps_pppe import create_pppe_state, make_pppe_optimizer
+
+    model, variables = model_and_vars
+    state = create_pppe_state(jax.random.key(3), CFG, make_pppe_optimizer(1e-3))
+    save_pppe_checkpoint(str(tmp_path / "model"), state, 1, best=False)
+
+    pc = rng.random((CFG.N, 3)).astype(np.float32)
+    save_point_cloud(pc, "a.ply", path=str(tmp_path / "in"))
+    flags = ["--N", str(CFG.N), "--K", str(CFG.latent_dim), "--L", str(CFG.L)]
+    pppe_pcd_compress.main([
+        str(tmp_path / "in" / "*.ply"), str(tmp_path / "comp"),
+        str(tmp_path / "model"), *flags])
+    pppe_pcd_decompress.main([
+        str(tmp_path / "comp" / "*.bin"), str(tmp_path / "decomp"),
+        str(tmp_path / "model"), "--use_quantized", *flags])
+
+    out = read_point_cloud(str(tmp_path / "decomp" / "a.bin.ply"))
+
+    # manual training-path decode with the state the CLIs loaded
+    from pcc_tpu.cli.pppe_pcd_decompress import load_binary
+    from pcc_tpu.train.steps_pppe import make_pppe_model
+    m = make_pppe_model(CFG)
+    v = {"params": state.params["ae"], "batch_stats": state.batch_stats["ae"]}
+    lat = jnp.asarray(load_binary(str(tmp_path / "comp" / "a.bin")))
+    z = jnp.round(jnp.clip(lat, 0.0, CFG.L - 1.0))
+    _, fine = m.apply(v, z, method=lambda mm, latent: mm.decoder(latent))
+    np.testing.assert_allclose(out, np.asarray(fine)[0], atol=1e-5)
