@@ -1,9 +1,21 @@
 """PPPE fast compression (reference pppe_pcd_compress.py CLI).
 
-Same on-disk contract: per cloud, a `.bin` holding a uint32 row count
-followed by raw float32 latents — the reference applies NO quantization or
-entropy coding at write time (pppe_pcd_compress.py:36-41,55-66), and the
-output directory mirrors the input tree (pppe_pcd_compress.py:90-93).
+Same on-disk contract by default: per cloud, a `.bin` holding a uint32 row
+count followed by raw float32 latents — the reference applies NO
+quantization or entropy coding at write time (pppe_pcd_compress.py:36-41,
+55-66), and the output directory mirrors the input tree
+(pppe_pcd_compress.py:90-93).
+
+`--entropy_coding` (extension, no reference counterpart) instead writes a
+self-contained coded stream: the latent is quantized with the model's own
+`quantize_st` forward (round(clamp(latent, 0, L-1)) — exactly what the
+training decoder consumed, models/pppe.py:209-217), its histogram is
+transmitted in the header, and the symbols are range-coded under that
+histogram PMF. Same distortion as `pppe_pcd_decompress --use_quantized` at
+~10x less rate than the raw-float contract (see eval/GOLDEN.md). The
+reference's *conditional* PMF cannot be used here: it conditions on
+encoder-side features that are never transmitted (pppe_pcd_ae.py:882-917),
+so its estimated rate was never decodable — the histogram PMF is.
 """
 
 from __future__ import annotations
@@ -33,8 +45,18 @@ def build_parser():
     p.add_argument("--K", type=int, default=256, help="Latent space dimension.")
     p.add_argument("--L", type=int, default=7, help="Quantization level.")
     p.add_argument("--best", action="store_true")
+    p.add_argument("--entropy_coding", action="store_true",
+                   help="Write quantized+range-coded latents (histogram PMF "
+                        "in the header) instead of the reference's raw "
+                        "float32 contract. Self-contained; ~10x less rate at "
+                        "identical --use_quantized distortion.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     return p
+
+
+# magic for the entropy-coded stream variant; cannot collide with the raw
+# contract, whose first 4 bytes are the latent count (a small uint32)
+ENTROPY_MAGIC = 0x45505045  # "EPPE"
 
 
 def save_binary(latent: np.ndarray, out_path: str) -> None:
@@ -44,6 +66,29 @@ def save_binary(latent: np.ndarray, out_path: str) -> None:
     with open(out_path, "wb") as f:
         f.write(struct.pack("I", arr.shape[0]))
         arr.tofile(f)
+
+
+def save_binary_entropy(latent: np.ndarray, L: int, out_path: str) -> None:
+    """Quantize with the model's own quantize_st forward and range-code.
+
+    Layout: uint32 magic | uint16 d | uint8 L | uint8 pad | uint32 counts[L]
+    | uint32 nbytes | payload. The decoder rebuilds the identical histogram
+    PMF from the integer counts, so the stream is self-contained.
+    """
+    from pcc_tpu.coding.rangecoder import encode_float_cdf
+
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    lat = np.asarray(latent, dtype=np.float32).reshape(-1)
+    sym = np.clip(np.round(lat), 0, L - 1).astype(np.int16)
+    counts = np.bincount(sym, minlength=L).astype(np.uint32)
+    pmf = counts / counts.sum()
+    cdf = np.concatenate([[0.0], np.cumsum(pmf)])          # [L+1]
+    payload = encode_float_cdf(np.tile(cdf, (sym.shape[0], 1)), sym)
+    with open(out_path, "wb") as f:
+        f.write(struct.pack("IHBB", ENTROPY_MAGIC, lat.shape[0], L, 0))
+        counts.tofile(f)
+        f.write(struct.pack("I", len(payload)))
+        f.write(payload)
 
 
 def rel_output_path(ply_path: str, input_glob: str, out_root: str, ext: str) -> str:
@@ -92,7 +137,10 @@ def main(argv=None):
         pc01, _, _ = normalize(jnp.asarray(pc), margin=cfg.margin)
         latent, _ = encode(variables, pc01[None])
         out = rel_output_path(f, args.input_glob, args.compressed_path, ".bin")
-        save_binary(np.asarray(latent)[0], out)
+        if args.entropy_coding:
+            save_binary_entropy(np.asarray(latent)[0], args.L, out)
+        else:
+            save_binary(np.asarray(latent)[0], out)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,10 @@ Default replicates the reference source's sigmoid-spread behavior for
 parity; --use_quantized instead applies the model's own quantizer
 (round(clamp(latent, q_min, q_max)), exactly the training-time path) and is
 what the committed PPPE golden artifact uses — see eval/GOLDEN.md.
+
+Entropy-coded streams (written by `pppe_pcd_compress --entropy_coding`) are
+auto-detected by magic; their decoded symbols are already the quantize_st
+forward values and always take the training-consistent path.
 """
 
 from __future__ import annotations
@@ -61,6 +65,27 @@ def load_binary(in_path: str) -> np.ndarray:
     return arr.reshape(1, n)
 
 
+def load_binary_any(in_path: str):
+    """Returns (latent [1, d], is_quantized). Dispatches on the entropy-
+    coded magic (cli/pppe_pcd_compress.py::save_binary_entropy layout);
+    otherwise reads the reference's raw float32 contract."""
+    from pcc_tpu.cli.pppe_pcd_compress import ENTROPY_MAGIC
+    from pcc_tpu.coding.rangecoder import decode_float_cdf
+
+    with open(in_path, "rb") as f:
+        magic = struct.unpack("I", f.read(4))[0]
+        if magic != ENTROPY_MAGIC:
+            return load_binary(in_path), False
+        d, L, _ = struct.unpack("HBB", f.read(4))
+        counts = np.fromfile(f, dtype=np.uint32, count=L)
+        nbytes = struct.unpack("I", f.read(4))[0]
+        payload = f.read(nbytes)
+    pmf = counts / counts.sum()
+    cdf = np.concatenate([[0.0], np.cumsum(pmf)])
+    sym = decode_float_cdf(np.tile(cdf, (d, 1)), payload)
+    return sym.astype(np.float32)[None, :], True
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     setup_jax()
@@ -76,8 +101,13 @@ def main(argv=None):
     files = sorted(glob(args.input_glob, recursive=True))
     print(f"Found {len(files)} compressed files.")
     for f in files:
-        latent = jnp.asarray(load_binary(f))
-        if args.use_quantized:
+        raw, is_quantized = load_binary_any(f)
+        latent = jnp.asarray(raw)
+        if is_quantized:
+            # entropy-coded stream: symbols ARE the quantize_st forward
+            # values; feed them straight to the decoder (training path)
+            z = latent
+        elif args.use_quantized:
             # the training-time path: PointCloudAE.quantize_st's forward
             # (clamp to [q_min, q_max] = [0, latent_bins-1], round), with
             # latent_bins = L as in make_pppe_model

@@ -72,3 +72,15 @@ def test_pppe_golden_stats():
     # raw-float32-latent stream: 256 floats + uint32 header over 8192 pts
     assert df["bpp"].mean() == pytest.approx((4 + 256 * 4) * 8 / 8192, abs=1e-6)
     assert (df["n_points_output"] == 8192).all()
+
+
+def test_pppe_entropy_golden_stats():
+    """--entropy_coding: identical distortion to the raw-float contract at
+    ~20x less rate (the decoded symbols equal the --use_quantized path)."""
+    df = _load("SyntheticSurfaces_PPPE_entropy.csv")
+    raw = _load("SyntheticSurfaces_PPPE.csv")
+    assert len(df) == 32
+    assert df["p2pointPSNR"].mean() == pytest.approx(
+        raw["p2pointPSNR"].mean(), abs=1e-6)
+    assert df["bpp"].mean() == pytest.approx(0.0492, abs=0.001)
+    assert df["bpp"].mean() < raw["bpp"].mean() / 15

@@ -170,3 +170,27 @@ def test_pppe_use_quantized_decode_matches_training_path(model_and_vars,
     z = jnp.round(jnp.clip(lat, 0.0, CFG.L - 1.0))
     _, fine = m.apply(v, z, method=lambda mm, latent: mm.decoder(latent))
     np.testing.assert_allclose(out, np.asarray(fine)[0], atol=1e-5)
+
+
+def test_pppe_entropy_stream_roundtrip(tmp_path, rng):
+    """Entropy-coded .bin: symbols survive encode->decode exactly, the
+    stream is ~10x smaller than the raw contract, and the raw format is
+    still auto-detected."""
+    from pcc_tpu.cli.pppe_pcd_compress import save_binary, save_binary_entropy
+    from pcc_tpu.cli.pppe_pcd_decompress import load_binary_any
+
+    lat = (rng.standard_normal(256) * 2.0).astype(np.float32)
+    p_ent = str(tmp_path / "e.bin")
+    p_raw = str(tmp_path / "r.bin")
+    save_binary_entropy(lat, 7, p_ent)
+    save_binary(lat, p_raw)
+
+    sym, is_q = load_binary_any(p_ent)
+    assert is_q
+    np.testing.assert_array_equal(
+        sym[0], np.clip(np.round(lat), 0, 6).astype(np.float32))
+    assert os.path.getsize(p_ent) < os.path.getsize(p_raw) / 4
+
+    raw, is_q = load_binary_any(p_raw)
+    assert not is_q
+    np.testing.assert_array_equal(raw[0], lat)
