@@ -131,6 +131,10 @@ def _eval_batch_device(origs: jnp.ndarray, recons: jnp.ndarray,
 
 
 _EVAL_CHUNK = 16
+# cap on points-per-dispatch so S3DIS-scale clouds (50k-100k points) don't
+# scale device memory by the full 16-pair chunk; 16*8192 keeps the
+# reference-scale (N=8192) program shape exactly as before
+_EVAL_POINT_BUDGET = 16 * 8192
 
 
 def eval_batch(origs: np.ndarray, recons: np.ndarray,
@@ -144,6 +148,8 @@ def eval_batch(origs: np.ndarray, recons: np.ndarray,
     compiled program is reused across dataset sizes and device memory stays
     bounded regardless of how many clouds the eval run covers."""
     B = origs.shape[0]
+    biggest = max(int(origs.shape[1]), int(recons.shape[1]))
+    chunk = max(1, min(chunk, _EVAL_POINT_BUDGET // biggest))
     uc_k = min(1024, int(origs.shape[1]), int(recons.shape[1]))
     cols = [np.empty(B) for _ in range(6)]
     for lo in range(0, B, chunk):

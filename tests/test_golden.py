@@ -84,3 +84,19 @@ def test_pppe_entropy_golden_stats():
         raw["p2pointPSNR"].mean(), abs=1e-6)
     assert df["bpp"].mean() == pytest.approx(0.0492, abs=0.001)
     assert df["bpp"].mean() < raw["bpp"].mean() / 15
+
+
+def test_rooms_golden_stats():
+    """S3DIS-scale golden: 8 synthetic rooms (6x65536, 50000, 100000 pts)
+    through the full binary pipeline with an 8192-trained model — the
+    large-scene path the reference handles via runtime S
+    (compress.py:92-93)."""
+    df = _load("SyntheticRooms_K256.csv")
+    assert len(df) == 8
+    assert df["p2pointPSNR"].mean() == pytest.approx(50.51, abs=0.05)
+    assert df["bpp"].mean() == pytest.approx(0.647, abs=0.005)
+    assert set(df["n_points_input"]) == {65536, 50000, 100000}
+    # N not divisible by k reconstructs S*k points (reference decompress
+    # semantics, decompress.py:104-107)
+    out_by_in = dict(zip(df["n_points_input"], df["n_points_output"]))
+    assert out_by_in[50000] == 49920 and out_by_in[100000] == 99968
