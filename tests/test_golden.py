@@ -100,3 +100,16 @@ def test_rooms_golden_stats():
     # semantics, decompress.py:104-107)
     out_by_in = dict(zip(df["n_points_input"], df["n_points_output"]))
     assert out_by_in[50000] == 49920 and out_by_in[100000] == 99968
+
+
+def test_pppf_golden_stats():
+    """PPPF-AE through the full binary pipeline — an extension: the
+    reference's compress.py is hardwired to IPDAE submodules and cannot
+    binary-compress its own PPPF checkpoints."""
+    df = _load("SyntheticSurfaces_PPPF_K256.csv")
+    assert len(df) == 32
+    assert df["p2pointPSNR"].mean() == pytest.approx(35.80, abs=0.05)
+    assert df["bpp"].mean() == pytest.approx(0.596, abs=0.005)
+    # FoldingNet emits grid^2 = K points per patch (PPPF_AE.py:118-123), so
+    # n_out = S*K = 2N at the default config
+    assert (df["n_points_output"] == 2 * df["n_points_input"]).all()
