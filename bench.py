@@ -270,19 +270,82 @@ def profile_breakdown():
     jax.block_until_ready((res, cdf))
 
     def timed(label, fn, reps=5):
+        # block_until_ready is a no-op over the remote axon tunnel (device
+        # timings come back as ~0 ms); force completion by fetching one
+        # element of the LAST output buffer — the copy cannot start before
+        # the program finishes. The ~20 ms fetch round trip is included in
+        # every sample; compare against the measured round-trip line below.
+        def sync(out):
+            leaf = jax.tree.leaves(out)[-1]
+            np.asarray(jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf))
+        # the ravel/slice helper itself compiles tiny device programs the
+        # first time it sees a shape — a 30-500s REMOTE compile on axon that
+        # would land inside the first timed rep; warm the sync path first
+        sync(fn())
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn()
-            jax.block_until_ready(out)
+            sync(out)
         dt = (time.perf_counter() - t0) / reps
         print(f"{label}: {dt*1e3:.1f} ms/batch{BATCH} "
-              f"({dt*1e3/BATCH:.3f} ms/cloud)")
+              f"({dt*1e3/BATCH:.3f} ms/cloud), incl. 1-elem fetch")
         return out, dt
 
     res, t_enc = timed("device encode program",
                        lambda: enc(codec.ae_params, codec.prob_params, pcs, starts))
     cdf, t_cdf = timed("device cdf program",
                        lambda: cdf_fn(codec.prob_params, res.rec_xyz))
+
+    # stage-level split of the encode program (each stage jitted separately;
+    # the fused program overlaps them, so stages can sum to more than the
+    # fused total — this locates the dominant cost, it is not additive)
+    import functools as _ft
+
+    from pcc_tpu.coding.octree import octree_analyze
+    from pcc_tpu.ops.fps import fps_batch
+    from pcc_tpu.ops.knn import knn_points
+    from pcc_tpu.ops.normalize import normalize
+
+    ccfg = cfg.with_n(cfg.N)
+
+    @jax.jit
+    def stage_fps(pcs, starts):
+        pc01, center, longest = jax.vmap(
+            _ft.partial(normalize, margin=ccfg.margin))(pcs)
+        idx = fps_batch(pc01, ccfg.S, starts)
+        return pc01, jnp.take_along_axis(pc01, idx[..., None], axis=1)
+
+    @jax.jit
+    def stage_octree(sampled):
+        return jax.vmap(lambda s: octree_analyze(
+            s, ccfg.N, ccfg.min_bpp, ccfg.max_depth).rec_xyz)(sampled)
+
+    @jax.jit
+    def stage_knn(rec, pc01):
+        def one(r, p):
+            _, _, g = knn_points(r[None], p[None], K=ccfg.K, return_nn=True)
+            return (g[0] - r[:, None, :]) * ccfg.patch_scale
+        return jax.vmap(one)(rec, pc01)
+
+    from pcc_tpu.codec import make_models
+
+    @jax.jit
+    def stage_ae(patches):
+        B, S = patches.shape[:2]
+        ae, _ = make_models(ccfg)
+        lat = ae.apply(codec.ae_params, patches.reshape(B * S, ccfg.K, 3),
+                       method="encode")
+        return lat.reshape(B, S, ccfg.d)
+
+    pc01, sampled = stage_fps(pcs, starts)
+    rec = stage_octree(sampled)
+    patches = stage_knn(rec, pc01)
+    lat = stage_ae(patches)  # warmups
+    jax.block_until_ready((pc01, sampled, rec, patches, lat))
+    timed("  stage normalize+FPS", lambda: stage_fps(pcs, starts))
+    timed("  stage octree analyze", lambda: stage_octree(sampled))
+    timed("  stage KNN patching", lambda: stage_knn(rec, pc01))
+    timed("  stage AE encoder", lambda: stage_ae(patches))
 
     # one empty round trip approximates the tunnel latency floor
     one = jnp.zeros((1,), jnp.float32)
@@ -291,12 +354,12 @@ def profile_breakdown():
     syms, cdfs, depths, codes = _fetch_all(res.sym, cdf, res.depth,
                                            res.sorted_codes)
     syms = syms.astype(np.int16)
-    cdfs = cdfs.astype(np.float64)
+    cdfs = cdfs.astype(np.int32)
     codes = codes.astype(np.int64)
 
     t0 = time.perf_counter()
     for j in range(BATCH):
-        rangecoder.encode_float_cdf(cdfs[j], syms[j])
+        rangecoder.encode_quantized_cdf(cdfs[j], syms[j])
     t_rc = time.perf_counter() - t0
     print(f"host range coder (serial): {t_rc*1e3:.1f} ms/batch{BATCH} "
           f"({t_rc*1e3/BATCH:.3f} ms/cloud); threaded in the codec")

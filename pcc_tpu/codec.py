@@ -34,7 +34,7 @@ from pcc_tpu.coding.octree_host import (
     parse_octree_bits,
     unpack_bits,
 )
-from pcc_tpu.coding.pmf import pmf_to_cdf
+from pcc_tpu.coding.pmf import pmf_to_cdf, pmf_to_quantized_cdf
 from pcc_tpu.config import CodecConfig
 from pcc_tpu.models.ipdae import ConditionalProbabilityModel, PatchAE
 from pcc_tpu.ops.fps import fps_batch
@@ -63,7 +63,7 @@ def make_models(cfg: CodecConfig):
         prob = PPPFConditionalProbabilityModel(d=cfg.d, L=cfg.L, dtype=dtype)
         return ae, prob
     ae = PatchAE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L, sa_knn=cfg.sa_knn,
-                 dtype=dtype)
+                 dtype=dtype, fused_sa=cfg.fused_sa)
     prob = ConditionalProbabilityModel(d=cfg.d, L=cfg.L, dtype=dtype)
     return ae, prob
 
@@ -77,7 +77,7 @@ def init_params(key: jax.Array, cfg: CodecConfig):
 
 
 class EncodeResult(NamedTuple):
-    sym: jnp.ndarray          # [S, d] int32 symbols in [0, L)
+    sym: jnp.ndarray          # [S, d] int8 symbols in [0, L)
     sorted_codes: jnp.ndarray  # [S] int32 max-depth Morton codes (descending)
     depth: jnp.ndarray        # scalar int32
     skeleton_bits: jnp.ndarray  # scalar int32
@@ -99,24 +99,28 @@ def _skeleton_geometry(pc01, sampled, *, cfg: CodecConfig):
     return octree, patches
 
 
-def _encode_from_skeleton(ae_params, prob_params, pc01, sampled, center,
-                          longest, *, cfg: CodecConfig) -> EncodeResult:
-    """Per-cloud analysis transform after FPS (vmapped over the batch).
-
-    Deliberately does NOT compute the coding CDF: the range coder's CDF is
-    produced by the same compiled `skeleton_cdf` program on both the encode
-    and decode sides (see Codec.compress_many), so a float divergence
-    between two differently-fused XLA compilations can never desynchronize
-    the coder. rec_xyz itself is bit-exact across device and host: voxel
-    centers are (int + 0.5) * 2^-depth, exact dyadic float32 arithmetic.
-    """
+def encode_clouds(ae_params, prob_params, pcs, fps_starts, *,
+                  cfg: CodecConfig) -> EncodeResult:
+    """Batched analysis transform [B, N, 3] -> EncodeResult with leading B
+    (compress.py:78-136, all clouds and all patches in one XLA program).
+    FPS runs as one batched Pallas kernel on TPU (ops/fps_pallas.py)."""
+    pc01, center, longest = jax.vmap(
+        functools.partial(normalize, margin=cfg.margin))(pcs)
+    idx = fps_batch(pc01, cfg.S, fps_starts)
+    sampled = jnp.take_along_axis(pc01, idx[..., None], axis=1)       # [B, S, 3]
+    # Only the per-cloud geometry runs under vmap; the AE encoder sees all
+    # B*S patches flattened into its own batch axis. Keeps both families'
+    # Pallas kernels (PPPF's internal FPS, IPDAE's fused SetAbstraction —
+    # ops/sa_pallas.py) out of a vmap batching transform, and is the
+    # MXU-friendlier shape either way.
     ae, _ = make_models(cfg)
-    octree, patches = _skeleton_geometry(pc01, sampled, cfg=cfg)
-
-    latent = ae.apply(ae_params, patches, method="encode")           # [S, d]
-    latent_q = jnp.round(latent)
-    sym = jnp.clip(latent_q + cfg.L // 2, 0, cfg.L - 1).astype(jnp.int32)
-
+    octree, patches = jax.vmap(
+        functools.partial(_skeleton_geometry, cfg=cfg))(pc01, sampled)
+    B, S = patches.shape[:2]
+    latent = ae.apply(ae_params, patches.reshape(B * S, cfg.K, 3),
+                      method="encode")                               # [B*S, d]
+    sym = jnp.clip(jnp.round(latent) + cfg.L // 2, 0,
+                   cfg.L - 1).astype(jnp.int8).reshape(B, S, cfg.d)
     return EncodeResult(
         sym=sym,
         sorted_codes=octree.sorted_codes,
@@ -128,43 +132,6 @@ def _encode_from_skeleton(ae_params, prob_params, pc01, sampled, center,
     )
 
 
-def encode_clouds(ae_params, prob_params, pcs, fps_starts, *,
-                  cfg: CodecConfig) -> EncodeResult:
-    """Batched analysis transform [B, N, 3] -> EncodeResult with leading B
-    (compress.py:78-136, all clouds and all patches in one XLA program).
-    FPS runs as one batched Pallas kernel on TPU (ops/fps_pallas.py)."""
-    pc01, center, longest = jax.vmap(
-        functools.partial(normalize, margin=cfg.margin))(pcs)
-    idx = fps_batch(pc01, cfg.S, fps_starts)
-    sampled = jnp.take_along_axis(pc01, idx[..., None], axis=1)       # [B, S, 3]
-    if cfg.model == "PPPF-AE":
-        # The PN++ encoder itself contains FPS/ball-query stages, so instead
-        # of nesting it under a per-cloud vmap (which would put the Pallas
-        # FPS kernel under a batching transform), flatten all B*S patches
-        # into the encoder's own batch axis — also the MXU-friendlier shape.
-        ae, _ = make_models(cfg)
-        octree, patches = jax.vmap(
-            functools.partial(_skeleton_geometry, cfg=cfg))(pc01, sampled)
-        B, S = patches.shape[:2]
-        latent = ae.apply(ae_params, patches.reshape(B * S, cfg.K, 3),
-                          method="encode")                           # [B*S, d]
-        sym = jnp.clip(jnp.round(latent) + cfg.L // 2, 0,
-                       cfg.L - 1).astype(jnp.int32).reshape(B, S, cfg.d)
-        return EncodeResult(
-            sym=sym,
-            sorted_codes=octree.sorted_codes,
-            depth=octree.depth,
-            skeleton_bits=octree.total_bits,
-            center=center,
-            longest=longest,
-            rec_xyz=octree.rec_xyz,
-        )
-    return jax.vmap(
-        functools.partial(_encode_from_skeleton, cfg=cfg),
-        in_axes=(None, None, 0, 0, 0, 0),
-    )(ae_params, prob_params, pc01, sampled, center, longest)
-
-
 def encode_cloud(ae_params, prob_params, pc, fps_start, *, cfg: CodecConfig):
     """Single-cloud analysis transform [N, 3] (compress.py:78-136)."""
     res = encode_clouds(ae_params, prob_params, pc[None],
@@ -174,10 +141,13 @@ def encode_cloud(ae_params, prob_params, pc, fps_start, *, cfg: CodecConfig):
 
 
 def skeleton_cdf(prob_params, rec_xyz, *, cfg: CodecConfig):
-    """PMF→CDF from the decoded skeleton alone (decompress.py:88-92)."""
+    """PMF→quantized-CDF from the decoded skeleton alone
+    (decompress.py:88-92). Quantization to the range coder's uint16
+    staircase happens ON DEVICE so the host fetches 2-byte rows — half the
+    tunnel transfer of a float32 CDF, and no host float64 pass."""
     _, prob = make_models(cfg)
     pmf = prob.apply(prob_params, rec_xyz[None])[0]
-    return pmf_to_cdf(pmf)
+    return pmf_to_quantized_cdf(pmf)
 
 
 def skeleton_cdf_batch(prob_params, rec_xyz, *, cfg: CodecConfig):
@@ -186,7 +156,27 @@ def skeleton_cdf_batch(prob_params, rec_xyz, *, cfg: CodecConfig):
     feeding the native batch axis keeps the Pallas FPS kernel out of a vmap
     batching transform."""
     _, prob = make_models(cfg)
-    return pmf_to_cdf(prob.apply(prob_params, rec_xyz))
+    return pmf_to_quantized_cdf(prob.apply(prob_params, rec_xyz))
+
+
+def decode_cloud_packed(ae_params, sym, rec_xyz, *, cfg: CodecConfig):
+    """Synthesis transform with a packed host transfer: uint16 fixed-point
+    positions + per-cloud (lo, scale) floats instead of float32 xyz.
+
+    The decoded-cloud fetch is the decompress path's dominant tunnel cost
+    (12.6 MB/batch128 at N=8192 vs 2.3 MB for everything else); packing
+    quarters it. Resolution is (hi-lo)/65535 ~ 2e-5 in normalized space —
+    two orders of magnitude below the codec's own ~6e-3 RMSE at the golden
+    operating point — and the host applies depack + denormalize in one
+    vectorized numpy pass (Codec.decompress_many)."""
+    ae, _ = make_models(cfg)
+    latent_q = sym.astype(jnp.float32) - cfg.L // 2
+    patches = ae.apply(ae_params, latent_q, method="decode")
+    pc01 = (patches / cfg.patch_scale + rec_xyz[:, None, :]).reshape(-1, 3)
+    lo = jnp.min(pc01, axis=0)
+    scale = jnp.maximum(jnp.max(pc01, axis=0) - lo, 1e-12)
+    q = jnp.round((pc01 - lo) / scale * 65535.0).astype(jnp.uint16)
+    return q, lo, scale
 
 
 def decode_cloud(ae_params, sym, rec_xyz, center, longest, *, cfg: CodecConfig):
@@ -214,7 +204,11 @@ class Codec:
 
     def __init__(self, cfg: CodecConfig, ae_params, prob_params,
                  batch_size: int = 16, host_threads: int = 8):
-        self.cfg = cfg
+        import dataclasses
+
+        # the codec only runs inference under plain single-chip jit, where
+        # the fused Pallas SetAbstraction is valid (config.py::fused_sa)
+        self.cfg = dataclasses.replace(cfg, fused_sa=True)
         self.ae_params = ae_params
         self.prob_params = prob_params
         self.batch_size = batch_size
@@ -250,8 +244,8 @@ class Codec:
             self._decode_cache[S] = (
                 cdf_fn,
                 jax.jit(jax.vmap(
-                    functools.partial(decode_cloud, cfg=cfg),
-                    in_axes=(None, 0, 0, 0, 0),
+                    functools.partial(decode_cloud_packed, cfg=cfg),
+                    in_axes=(None, 0, 0),
                 )),
             )
         return self._decode_cache[S]
@@ -302,7 +296,7 @@ class Codec:
                 return res, cdf_fn(self.prob_params, res.rec_xyz)
 
             def serialize_one(i, cdf, sym, depth, codes64, center, longest):
-                p_bytes = rangecoder.encode_float_cdf(cdf, sym)
+                p_bytes = rangecoder.encode_quantized_cdf(cdf, sym)
                 codes = codes64 >> (3 * (cfg.max_depth - depth))
                 if len(np.unique(codes)) != codes.shape[0]:
                     raise ValueError(
@@ -327,7 +321,7 @@ class Codec:
                     res.sym, cdfs_dev, res.depth, res.sorted_codes,
                     res.center, res.longest)
                 syms = syms.astype(np.int16)
-                cdfs = cdfs.astype(np.float64)
+                cdfs = cdfs.astype(np.int32)
                 all_codes = all_codes.astype(np.int64)
                 futures = [
                     self._pool.submit(
@@ -379,40 +373,41 @@ class Codec:
                 range-decodes batch i+1's symbols."""
                 idx_p, recs, cdfs_dev = stage
                 (cdfs,) = _fetch_all(cdfs_dev)
-                cdfs = cdfs.astype(np.float64)
+                cdfs = cdfs.astype(np.int32)
                 syms = np.stack(list(self._pool.map(
-                    lambda ji: rangecoder.decode_float_cdf(
-                        cdfs[ji[0]], streams[ji[1]][0]).astype(np.int32),
+                    lambda ji: rangecoder.decode_quantized_cdf(
+                        cdfs[ji[0]], streams[ji[1]][0]).astype(np.int16),
                     enumerate(idx_p),
                 )))
                 headers = np.stack([parsed[i][1] for i in idx_p])
-                return dec_fn(
-                    self.ae_params,
-                    jnp.asarray(syms),
-                    recs,
-                    jnp.asarray(headers[:, :3]),
-                    jnp.asarray(headers[:, 3]),
-                )
+                return headers, dec_fn(self.ae_params, jnp.asarray(syms), recs)
 
             # 3-stage software pipeline over batches:
             #   A: skeleton-CDF dispatch   (device)
             #   B: range decode + decoder dispatch (host pool + device)
             #   C: fetch decoded clouds    (transfer)
+            def collect(entry):
+                """Depack uint16 positions and denormalize on the host —
+                one vectorized pass, exact inverse of ops/normalize."""
+                prev_idx, (headers, (q, lo, scale)) = entry
+                q, lo, scale = _fetch_all(q, lo, scale)
+                pc01 = q.astype(np.float32) * (scale / 65535.0)[:, None, :] \
+                    + lo[:, None, :]
+                margin = self.cfg.margin
+                out = (pc01 - 0.5) * (headers[:, None, 3:4] / (1.0 - margin)) \
+                    + headers[:, None, :3]
+                for j, i in enumerate(prev_idx):
+                    results[i] = out[j]
+
             pending_cdf = dispatch_cdf(batches[0])
             pending_dec = None
             for b, batch_idx in enumerate(batches):
                 stage = pending_cdf
                 if b + 1 < len(batches):
                     pending_cdf = dispatch_cdf(batches[b + 1])
-                pcs_dev = dispatch_dec(stage)
+                dec_out = dispatch_dec(stage)
                 if pending_dec is not None:
-                    prev_idx, prev_dev = pending_dec
-                    (pcs,) = _fetch_all(prev_dev)
-                    for j, i in enumerate(prev_idx):
-                        results[i] = pcs[j]
-                pending_dec = (batch_idx, pcs_dev)
-            prev_idx, prev_dev = pending_dec
-            (pcs,) = _fetch_all(prev_dev)
-            for j, i in enumerate(prev_idx):
-                results[i] = pcs[j]
+                    collect(pending_dec)
+                pending_dec = (batch_idx, dec_out)
+            collect(pending_dec)
         return results

@@ -79,8 +79,17 @@ def quantize_cdf(cdf_float: np.ndarray) -> np.ndarray:
 def encode_float_cdf(cdf_float: np.ndarray, sym: np.ndarray,
                      force_python: bool = False) -> bytes:
     """Encode int symbols [n] under per-slot float CDFs [n, Lp] -> bytes."""
+    return encode_quantized_cdf(quantize_cdf(cdf_float), sym,
+                                force_python=force_python)
+
+
+def encode_quantized_cdf(cdf_int: np.ndarray, sym: np.ndarray,
+                         force_python: bool = False) -> bytes:
+    """Encode under pre-quantized integer CDF rows [n, Lp] (the
+    quantize_cdf staircase — or pmf.pmf_to_quantized_cdf computed on
+    device, which lets the host fetch uint16 instead of float32)."""
     cdf = np.ascontiguousarray(
-        quantize_cdf(cdf_float).reshape(-1, cdf_float.shape[-1]))
+        np.asarray(cdf_int, dtype=np.int32).reshape(-1, cdf_int.shape[-1]))
     syms = np.ascontiguousarray(np.asarray(sym, dtype=np.int16).reshape(-1))
     n, Lp = cdf.shape
     assert syms.shape[0] == n, (syms.shape, cdf.shape)
@@ -100,9 +109,17 @@ def encode_float_cdf(cdf_float: np.ndarray, sym: np.ndarray,
 def decode_float_cdf(cdf_float: np.ndarray, byte_stream: bytes,
                      force_python: bool = False) -> np.ndarray:
     """Decode bytes into int16 symbols shaped like cdf_float.shape[:-1]."""
-    shape = cdf_float.shape[:-1]
+    return decode_quantized_cdf(quantize_cdf(cdf_float), byte_stream,
+                                force_python=force_python)
+
+
+def decode_quantized_cdf(cdf_int: np.ndarray, byte_stream: bytes,
+                         force_python: bool = False) -> np.ndarray:
+    """Decode under pre-quantized integer CDF rows (see
+    encode_quantized_cdf)."""
+    shape = cdf_int.shape[:-1]
     cdf = np.ascontiguousarray(
-        quantize_cdf(cdf_float).reshape(-1, cdf_float.shape[-1]))
+        np.asarray(cdf_int, dtype=np.int32).reshape(-1, cdf_int.shape[-1]))
     n, Lp = cdf.shape
     lib = None if force_python else _load_native()
     if lib is not None:

@@ -56,6 +56,11 @@ class CodecConfig:
     # (ae.sa/ae.pn, compress.py:112-122) and so cannot code PPPF streams;
     # here both families share the full binary pipeline (extension).
     model: str = "AE"
+    # Fused Pallas SetAbstraction (ops/sa_pallas.py) in the IPDAE encoder.
+    # Inference-only (no backward rule) and single-program (not GSPMD-
+    # partitionable), so it stays off by default; the Codec wrapper turns
+    # it on for its jitted single-chip pipelines (codec.py).
+    fused_sa: bool = False
 
     @property
     def S(self) -> int:

@@ -37,10 +37,11 @@ class PatchAE(nn.Module):
     L: int = 7
     sa_knn: int = 16
     dtype: Any = None  # bf16 mixed-precision compute when set (params stay f32)
+    fused_sa: bool = False  # inference-only Pallas SA (config.py::fused_sa)
 
     def setup(self):
         self.sa = SetAbstraction(knn=self.sa_knn, mlp=(32, 64, 128),
-                                 dtype=self.dtype)
+                                 dtype=self.dtype, fused=self.fused_sa)
         self.pn = PointNetFeat(
             features=(128, 256, 512, self.d), relu=(True, True, True, False),
             dtype=self.dtype,

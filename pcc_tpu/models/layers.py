@@ -83,8 +83,32 @@ class PointwiseMLP(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 probe: bool = False):
+        """probe=True returns the layer (kernel, bias) pairs instead of
+        running the MLP — for fused Pallas consumers (ops/sa_pallas.py).
+        Each dense is probed with [eye(C); 0] so parameters are created
+        under exactly the same names/shapes as the compute path (flax
+        materializes params at the call site), and W = y[:C] - y[C], b =
+        y[C] recovers them exactly (the layer is affine). x only supplies
+        the input width in probe mode."""
         relu = self.relu if self.relu is not None else [True] * len(self.features)
+        if probe:
+            assert not self.use_bn, "probe mode bypasses BatchNorm"
+            wb = []
+            C = x.shape[-1]
+            for i, f in enumerate(self.features):
+                # dtype=None so the probe runs in f32 and recovers the
+                # exact f32 params; the fused kernel then casts to the
+                # compute dtype itself, just as flax Dense would. Same
+                # scope name => same parameters as the compute path.
+                dense = TorchDense(f, dtype=None, name=f"dense_{i}")
+                y = dense(jnp.concatenate(
+                    [jnp.eye(C, dtype=jnp.float32),
+                     jnp.zeros((1, C), jnp.float32)], axis=0))
+                wb.append((y[:C] - y[C], y[C]))
+                C = f
+            return wb
         for i, f in enumerate(self.features):
             x = TorchDense(f, dtype=self.dtype, name=f"dense_{i}")(x)
             if self.use_bn:
@@ -158,12 +182,30 @@ class SetAbstraction(nn.Module):
     final_relu: bool = True
     use_bn: bool = False
     dtype: Any = None
+    # Inference-only fused Pallas path (ops/sa_pallas.py): KNN + gather +
+    # MLP + neighbor-max in one VMEM-resident kernel, skipping the
+    # [B, N, knn, C] HBM intermediates. No backward rule — leave False for
+    # training; the Codec enables it (codec.py). Auto-falls back to the XLA
+    # path off-TPU so CPU tests exercise both (kernel parity is pinned via
+    # interpret mode in tests/test_sa_pallas.py).
+    fused: bool = False
 
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        relu = [True] * (len(self.mlp) - 1) + [self.final_relu]
+        mlp = PointwiseMLP(self.mlp, relu, self.use_bn, self.dtype,
+                           name="mlp")
+        if (self.fused and not self.use_bn and all(relu)
+                and xyz.ndim == 3 and jax.default_backend() == "tpu"):
+            from pcc_tpu.ops.sa_pallas import sa_fused
+
+            wb = mlp(xyz, probe=True)
+            feats = sa_fused(
+                xyz, [w for w, _ in wb], [b for _, b in wb],
+                knn=self.knn, compute_dtype=self.dtype)
+            # match the XLA path's output dtype (kernel accumulates f32)
+            return feats.astype(self.dtype) if self.dtype else feats
         _, _, grouped = knn_points(xyz, xyz, K=self.knn, return_nn=True)
         grouped = grouped - xyz[..., None, :]            # [B, N, K, 3]
-        relu = [True] * (len(self.mlp) - 1) + [self.final_relu]
-        feats = PointwiseMLP(self.mlp, relu, self.use_bn, self.dtype,
-                             name="mlp")(grouped, train)
+        feats = mlp(grouped, train)
         return jnp.max(feats, axis=-2)                   # [B, N, mlp[-1]]

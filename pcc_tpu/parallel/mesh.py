@@ -67,9 +67,12 @@ def build_sharded_decode(cfg: CodecConfig, mesh: Mesh, axis: str = "data"):
       dec_fn(ae_params, sym [B, S, d], rec_xyz, center [B, 3], longest [B])
         -> clouds [B, S*k, 3]
 
-    Params replicated, per-cloud arrays sharded over `axis`. The CDFs are
-    produced by the same skeleton_cdf program as the single-device path, so
-    sharded decode is bit-identical (tested in test_parallel.py)."""
+    Params replicated, per-cloud arrays sharded over `axis`. The CDFs come
+    from the same skeleton_cdf source as the single-device path; a stream
+    must be decoded with the cdf program of the mesh shape that encoded it
+    (the Codec always uses one compiled cdf fn for both sides) — across
+    different compilations the quantized rows can differ by one bin at
+    round-to-nearest boundaries (tested/bounded in test_parallel.py)."""
     from pcc_tpu.codec import decode_cloud, skeleton_cdf
 
     repl = NamedSharding(mesh, P())

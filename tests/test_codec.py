@@ -46,8 +46,9 @@ def test_latent_stream_roundtrip_exact(rng, codec):
     # both sides build the cdf through the same jitted program, fed with
     # rec_xyz only (the decodability invariant)
     cdf_fn = jax.jit(functools.partial(skeleton_cdf, cfg=CFG))
-    cdf_enc = np.asarray(cdf_fn(codec.prob_params, res.rec_xyz), np.float64)
-    p_bytes = rangecoder.encode_float_cdf(cdf_enc, np.asarray(res.sym, np.int16))
+    cdf_enc = np.asarray(cdf_fn(codec.prob_params, res.rec_xyz), np.int32)
+    p_bytes = rangecoder.encode_quantized_cdf(
+        cdf_enc, np.asarray(res.sym, np.int16))
     # decoder side: host-reconstructed skeleton must yield a bit-identical cdf
     from pcc_tpu.coding.octree_host import codes_to_points
     codes = np.asarray(res.sorted_codes, np.int64) >> (
@@ -55,9 +56,9 @@ def test_latent_stream_roundtrip_exact(rng, codec):
     rec_host = codes_to_points(codes, int(res.depth))
     np.testing.assert_array_equal(rec_host, np.asarray(res.rec_xyz))
     cdf_dec = np.asarray(cdf_fn(codec.prob_params, jnp.asarray(rec_host)),
-                         np.float64)
+                         np.int32)
     np.testing.assert_array_equal(cdf_dec, cdf_enc)
-    sym2 = rangecoder.decode_float_cdf(cdf_dec, p_bytes)
+    sym2 = rangecoder.decode_quantized_cdf(cdf_dec, p_bytes)
     np.testing.assert_array_equal(sym2, np.asarray(res.sym))
 
 

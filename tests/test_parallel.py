@@ -116,15 +116,22 @@ def test_sharded_decode_matches_single_device(mesh, rng):
     np.testing.assert_allclose(np.asarray(out_sharded),
                                np.asarray(out_single), atol=1e-6)
     # decodability through the sharded cdf: encode with it, decode with it
-    cdfs = np.asarray(cdf_sharded, np.float64)
+    cdfs = np.asarray(cdf_sharded, np.int32)
     syms = np.asarray(res.sym, np.int16)
     for j in range(8):
-        blob = rangecoder.encode_float_cdf(cdfs[j], syms[j])
-        back = rangecoder.decode_float_cdf(cdfs[j], blob)
+        blob = rangecoder.encode_quantized_cdf(cdfs[j], syms[j])
+        back = rangecoder.decode_quantized_cdf(cdfs[j], blob)
         np.testing.assert_array_equal(back, syms[j])
-    # and the sharded cdf matches the single-device cdf numerically
-    np.testing.assert_allclose(cdfs, np.asarray(cdf_single, np.float64),
-                               atol=1e-6)
+    # The sharded and single-device compilations may disagree by one
+    # quantization bin where a pmf value lands exactly on a round-to-nearest
+    # boundary (1-ulp float differences between differently-fused XLA
+    # programs). Decodability never depends on cross-program agreement —
+    # both codec sides always run the SAME compiled cdf program — so pin
+    # the bound instead of exact equality.
+    single = np.asarray(cdf_single, np.int64)
+    diff = np.abs(cdfs.astype(np.int64) - single)
+    assert diff.max() <= 1
+    assert (diff != 0).sum() <= max(1, cdfs.size // 1000)
 
 
 def _run_sharded_in_subprocess(body: str) -> str:
