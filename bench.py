@@ -25,10 +25,12 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_baseline.json")
-# Clouds per device dispatch. 128 is the single-chip sweet spot: batch 256
-# is a hard HBM OOM (XLA reports 24.06G needed vs 15.75G v5e capacity — the
-# SetAbstraction grouped-neighbor activations are [B*S, K, knn, C] and
-# dominate at B*S = 16k patches).
+# Clouds per device dispatch. 128 is the single-chip sweet spot. Batch 256
+# used to be a hard HBM OOM (24.06G vs 15.75G — the XLA SetAbstraction's
+# [B*S, K, knn, C] grouped activations); the fused Pallas SA kernel removed
+# those, and 256 now compiles and runs — but measures slower per cloud
+# (5.8 vs 3.8 ms: fewer batches in flight means less host/device overlap),
+# so 128 stays.
 BATCH = 128
 N_CLOUDS_TPU = 256
 N_CLOUDS_BASE = 4

@@ -194,3 +194,41 @@ def test_pppe_entropy_stream_roundtrip(tmp_path, rng):
     raw, is_q = load_binary_any(p_raw)
     assert not is_q
     np.testing.assert_array_equal(raw[0], lat)
+
+
+def test_pppe_entropy_cli_matches_use_quantized(model_and_vars, tmp_path, rng):
+    """--entropy_coding end to end: the decoded symbols ARE the quantize_st
+    values, so decompression must produce byte-identical clouds to the
+    --use_quantized decode of the raw-float stream."""
+    from pcc_tpu.cli import pppe_pcd_compress, pppe_pcd_decompress
+    from pcc_tpu.io import read_point_cloud, save_point_cloud
+    from pcc_tpu.train.checkpoint import save_pppe_checkpoint
+    from pcc_tpu.train.steps_pppe import create_pppe_state, make_pppe_optimizer
+
+    state = create_pppe_state(jax.random.key(3), CFG, make_pppe_optimizer(1e-3))
+    save_pppe_checkpoint(str(tmp_path / "model"), state, 1, best=False)
+    pc = rng.random((CFG.N, 3)).astype(np.float32)
+    save_point_cloud(pc, "a.ply", path=str(tmp_path / "in"))
+    flags = ["--N", str(CFG.N), "--K", str(CFG.latent_dim), "--L", str(CFG.L)]
+
+    pppe_pcd_compress.main([
+        str(tmp_path / "in" / "*.ply"), str(tmp_path / "comp_raw"),
+        str(tmp_path / "model"), *flags])
+    pppe_pcd_compress.main([
+        str(tmp_path / "in" / "*.ply"), str(tmp_path / "comp_ent"),
+        str(tmp_path / "model"), "--entropy_coding", *flags])
+    raw_size = os.path.getsize(tmp_path / "comp_raw" / "a.bin")
+    ent_size = os.path.getsize(tmp_path / "comp_ent" / "a.bin")
+    # at this tiny latent_dim the fixed header dominates; the ~20x ratio at
+    # d=256 is asserted in test_pppe_entropy_stream_roundtrip
+    assert ent_size < raw_size
+
+    pppe_pcd_decompress.main([
+        str(tmp_path / "comp_raw" / "*.bin"), str(tmp_path / "dec_q"),
+        str(tmp_path / "model"), "--use_quantized", *flags])
+    pppe_pcd_decompress.main([
+        str(tmp_path / "comp_ent" / "*.bin"), str(tmp_path / "dec_e"),
+        str(tmp_path / "model"), *flags])
+    a = read_point_cloud(str(tmp_path / "dec_q" / "a.bin.ply"))
+    b = read_point_cloud(str(tmp_path / "dec_e" / "a.bin.ply"))
+    np.testing.assert_array_equal(a, b)
