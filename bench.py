@@ -329,25 +329,38 @@ def profile_breakdown():
             return (g[0] - r[:, None, :]) * ccfg.patch_scale
         return jax.vmap(one)(rec, pc01)
 
+    import dataclasses
+
     from pcc_tpu.codec import make_models
 
-    @jax.jit
-    def stage_ae(patches):
-        B, S = patches.shape[:2]
-        ae, _ = make_models(ccfg)
-        lat = ae.apply(codec.ae_params, patches.reshape(B * S, ccfg.K, 3),
-                       method="encode")
-        return lat.reshape(B, S, ccfg.d)
+    def make_stage_ae(fused):
+        cfg_ae = dataclasses.replace(ccfg, fused_sa=fused)
+
+        @jax.jit
+        def stage_ae(patches):
+            B, S = patches.shape[:2]
+            ae, _ = make_models(cfg_ae)
+            lat = ae.apply(codec.ae_params, patches.reshape(B * S, ccfg.K, 3),
+                           method="encode")
+            return lat.reshape(B, S, ccfg.d)
+
+        return stage_ae
+
+    stage_ae = make_stage_ae(False)
+    stage_ae_fused = make_stage_ae(True)
 
     pc01, sampled = stage_fps(pcs, starts)
     rec = stage_octree(sampled)
     patches = stage_knn(rec, pc01)
     lat = stage_ae(patches)  # warmups
-    jax.block_until_ready((pc01, sampled, rec, patches, lat))
+    latf = stage_ae_fused(patches)
+    jax.block_until_ready((pc01, sampled, rec, patches, lat, latf))
     timed("  stage normalize+FPS", lambda: stage_fps(pcs, starts))
     timed("  stage octree analyze", lambda: stage_octree(sampled))
     timed("  stage KNN patching", lambda: stage_knn(rec, pc01))
-    timed("  stage AE encoder", lambda: stage_ae(patches))
+    timed("  stage AE encoder (XLA path)", lambda: stage_ae(patches))
+    timed("  stage AE encoder (fused Pallas SA, the codec path)",
+          lambda: stage_ae_fused(patches))
 
     # one empty round trip approximates the tunnel latency floor
     one = jnp.zeros((1,), jnp.float32)
@@ -376,9 +389,15 @@ def profile_breakdown():
     t0 = time.perf_counter()
     codec.compress_many(clouds)
     t_full = time.perf_counter() - t0
+    serial = (t_enc + t_cdf + t_rc + t_bits) * 1e3
+    delta = serial - t_full * 1e3
+    verdict = (f"overlap hides {delta:.1f} ms of the serial sum" if delta >= 0
+               else f"{-delta:.1f} ms above the serial stage sum "
+                    "(result transfers + host glue, not covered by the "
+                    "per-stage timings)")
     print(f"full compress_many: {t_full*1e3:.1f} ms/batch{BATCH} "
-          f"({t_full*1e3/BATCH:.3f} ms/cloud) -> overlap hides "
-          f"{(t_enc+t_cdf+t_rc+t_bits-t_full)*1e3:.1f} ms of the serial sum")
+          f"({t_full*1e3/BATCH:.3f} ms/cloud); serial stage sum "
+          f"{serial:.1f} ms -> {verdict}")
 
 
 def main():
