@@ -101,7 +101,7 @@ def bench_tpu():
          f"{N_CLOUDS_TPU} clouds ({1e3*t_enc/N_CLOUDS_TPU:.2f} / "
          f"{1e3*t_dec/N_CLOUDS_TPU:.2f} ms/cloud)")
     flops_per_batch = _mfu_estimate(codec, cfg, clouds)
-    if flops_per_batch:
+    if flops_per_batch > 100e9:
         achieved = flops_per_batch * (N_CLOUDS_TPU / BATCH) / t_enc
         # v5e peak: 197 TFLOP/s bf16 / ~98 TFLOP/s f32 MXU
         _log(f"encode ~{flops_per_batch/1e9:.1f} GFLOP/batch{BATCH} -> "
@@ -109,6 +109,11 @@ def bench_tpu():
              f"(~{100*achieved/98e12:.2f}% of v5e f32 peak); "
              "the codec is latency/bandwidth-bound (tiny matmuls, "
              "sequential FPS), not FLOP-bound")
+    elif flops_per_batch:
+        _log(f"XLA cost model sees only {flops_per_batch/1e9:.1f} GFLOP/"
+             f"batch{BATCH}: the encoder FLOPs now live inside the fused "
+             "Pallas kernel (ops/sa_pallas.py), which cost_analysis cannot "
+             "inspect — see bench --profile for the measured stage split")
     return cfg.N * N_CLOUDS_TPU / dt
 
 

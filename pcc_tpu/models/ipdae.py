@@ -57,8 +57,22 @@ class PatchAE(nn.Module):
     def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
         """[B, K, 3] -> pre-quantization latent [B, d] (already spread into
         the quantizer range; AE.py:36-44)."""
-        feats = self.sa(patches)                                   # [B, K, 128]
-        latent = self.pn(jnp.concatenate([patches, feats], axis=-1))
+        import jax
+
+        if self.fused_sa and jax.default_backend() == "tpu":
+            # whole-encoder Pallas fusion (ops/sa_pallas.py): SA + concat +
+            # PointNet + global max in one VMEM-resident kernel. Inference
+            # only — the probe calls create/visit the exact same parameter
+            # tree the XLA path uses.
+            from pcc_tpu.ops.sa_pallas import patch_encoder_fused
+
+            latent = patch_encoder_fused(
+                patches, self.sa(patches, probe=True),
+                self.pn(jnp.zeros((1, 1, 3 + 128), jnp.float32), probe=True),
+                knn=self.sa_knn, compute_dtype=self.dtype)
+        else:
+            feats = self.sa(patches)                               # [B, K, 128]
+            latent = self.pn(jnp.concatenate([patches, feats], axis=-1))
         # the quantizer and symbol arithmetic stay exact float32 even under
         # bf16 compute — rounding in bf16 would flip symbols near .5
         return sigmoid_spread(latent.astype(jnp.float32), self.L)

@@ -133,10 +133,13 @@ class PointNetFeat(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = PointwiseMLP(self.features, self.relu, self.use_bn, self.dtype,
-                         name="mlp")(x, train)
-        return jnp.max(x, axis=-2)
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 probe: bool = False):
+        mlp = PointwiseMLP(self.features, self.relu, self.use_bn, self.dtype,
+                           name="mlp")
+        if probe:
+            return mlp(x, probe=True)
+        return jnp.max(mlp(x, train), axis=-2)
 
 
 class CMLP(nn.Module):
@@ -191,10 +194,13 @@ class SetAbstraction(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, xyz: jnp.ndarray, train: bool = False,
+                 probe: bool = False):
         relu = [True] * (len(self.mlp) - 1) + [self.final_relu]
         mlp = PointwiseMLP(self.mlp, relu, self.use_bn, self.dtype,
                            name="mlp")
+        if probe:
+            return mlp(xyz, probe=True)
         if (self.fused and not self.use_bn and all(relu)
                 and xyz.ndim == 3 and jax.default_backend() == "tpu"):
             from pcc_tpu.ops.sa_pallas import sa_fused

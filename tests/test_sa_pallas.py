@@ -88,3 +88,25 @@ def test_fused_module_param_tree_identical(rng):
     out_f = SetAbstraction(knn=4, fused=True).apply(v_fused, x)
     out_p = SetAbstraction(knn=4, fused=False).apply(v_plain, x)
     np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_p))
+
+
+def test_patch_encoder_fused_matches_xla(rng):
+    """The whole-encoder kernel (SA + concat + PointNet + max) equals the
+    module composition, interpret mode."""
+    from pcc_tpu.models.ipdae import PatchAE
+    from pcc_tpu.ops.sa_pallas import patch_encoder_fused
+
+    model = PatchAE(K=32, k=16, d=4, L=7, sa_knn=8)
+    x = jnp.asarray(rng.random((6, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    ref = np.asarray(model.apply(variables, x, method="encode"))
+
+    sa_wb = model.apply(variables, x, method=lambda m, p: m.sa(p, probe=True))
+    pn_wb = model.apply(
+        variables, jnp.zeros((1, 1, 131), jnp.float32),
+        method=lambda m, p: m.pn(p, probe=True))
+    lat = patch_encoder_fused(x, sa_wb, pn_wb, knn=8, block_p=4,
+                              interpret=True)
+    from pcc_tpu.models.layers import sigmoid_spread
+    out = np.asarray(sigmoid_spread(lat, 7))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
