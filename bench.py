@@ -31,8 +31,8 @@ CACHE = os.path.join(REPO, ".bench_baseline.json")
 # those, and 256 now compiles and runs — but measures slower per cloud
 # (5.8 vs 3.8 ms: fewer batches in flight means less host/device overlap),
 # so 128 stays.
-BATCH = 128
-N_CLOUDS_TPU = 256
+BATCH = int(os.environ.get("PCC_BENCH_BATCH", "128"))
+N_CLOUDS_TPU = int(os.environ.get("PCC_BENCH_CLOUDS", "256"))
 N_CLOUDS_BASE = 4
 
 
@@ -51,23 +51,30 @@ def _log(msg):
     sys.stderr.flush()
 
 
-def _mfu_estimate(codec, cfg, clouds):
-    """Achieved FLOP/s via XLA's own cost model for the encode program."""
-    import jax
-    import jax.numpy as jnp
+def analytic_codec_flops(cfg):
+    """Closed-form FLOP count per cloud for the fused encode and decode
+    device programs (VERDICT r2 item 6: XLA's cost model cannot see inside
+    the Pallas kernels, so the MFU figure is derived by hand from the
+    kernel math in ops/sa_pallas.py and ops/decoder_pallas.py).
 
-    try:
-        enc = codec._encode_fn(cfg.N)
-        pcs = jnp.asarray(np.stack(clouds[:codec.batch_size]))
-        starts = jnp.zeros((codec.batch_size,), jnp.int32)
-        lowered = enc.lower(codec.ae_params, codec.prob_params, pcs, starts)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
-    except Exception as e:  # cost model unavailable on some backends
-        _log(f"cost_analysis unavailable ({type(e).__name__}); no MFU")
-        return 0.0
+    Encoder, per patch of K points with knn neighbors (sa_pallas.py):
+      [K,K] distance cross-matmul, knn one-hot gather matmuls [K,K]x[K,3],
+      SA MLP 3->32->64->128 on K*knn rows, PointNet 131->128->256->512->d
+      on K rows. Decoder (decoder_pallas.py): inv_pool d->256->1024->k*128
+      and inv_mlp (128+d)->128->64->32->3 on k rows.
+    Selection argmins/maxes are comparisons, not counted.
+    """
+    K, knn, d, k, S = cfg.K, cfg.sa_knn, cfg.d, cfg.k, cfg.S
+    sa_mlp = 3 * 32 + 32 * 64 + 64 * 128
+    pn = (3 + 128) * 128 + 128 * 256 + 256 * 512 + 512 * d
+    enc_patch = 2 * (K * K * 3            # distance cross term
+                     + knn * K * K * 3    # one-hot gathers
+                     + knn * K * sa_mlp   # SA MLP over K*knn rows
+                     + K * pn)            # PointNet trunk
+    inv_pool = d * 256 + 256 * 1024 + 1024 * k * 128
+    inv_mlp = (128 + d) * 128 + 128 * 64 + 64 * 32 + 32 * 3
+    dec_patch = 2 * (inv_pool + k * inv_mlp)
+    return S * enc_patch, S * dec_patch   # per cloud
 
 
 def bench_tpu():
@@ -100,21 +107,147 @@ def bench_tpu():
     _log(f"breakdown: encode {t_enc:.3f}s, decode {t_dec:.3f}s for "
          f"{N_CLOUDS_TPU} clouds ({1e3*t_enc/N_CLOUDS_TPU:.2f} / "
          f"{1e3*t_dec/N_CLOUDS_TPU:.2f} ms/cloud)")
-    flops_per_batch = _mfu_estimate(codec, cfg, clouds)
-    if flops_per_batch > 100e9:
-        achieved = flops_per_batch * (N_CLOUDS_TPU / BATCH) / t_enc
-        # v5e peak: 197 TFLOP/s bf16 / ~98 TFLOP/s f32 MXU
-        _log(f"encode ~{flops_per_batch/1e9:.1f} GFLOP/batch{BATCH} -> "
-             f"{achieved/1e12:.3f} TFLOP/s achieved "
-             f"(~{100*achieved/98e12:.2f}% of v5e f32 peak); "
-             "the codec is latency/bandwidth-bound (tiny matmuls, "
-             "sequential FPS), not FLOP-bound")
-    elif flops_per_batch:
-        _log(f"XLA cost model sees only {flops_per_batch/1e9:.1f} GFLOP/"
-             f"batch{BATCH}: the encoder FLOPs now live inside the fused "
-             "Pallas kernel (ops/sa_pallas.py), which cost_analysis cannot "
-             "inspect — see bench --profile for the measured stage split")
+    enc_flops, dec_flops = analytic_codec_flops(cfg)
+    ach_enc = enc_flops * N_CLOUDS_TPU / t_enc
+    ach_dec = dec_flops * N_CLOUDS_TPU / t_dec
+    # v5e peak: 197 TFLOP/s bf16
+    _log(f"MFU (analytic kernel FLOPs, wall-clock incl. host/transfers): "
+         f"encode {enc_flops/1e9:.2f} GFLOP/cloud -> {ach_enc/1e12:.2f} "
+         f"TFLOP/s ({100*ach_enc/197e12:.1f}% of v5e bf16 peak); decode "
+         f"{dec_flops/1e9:.2f} GFLOP/cloud -> {ach_dec/1e12:.3f} TFLOP/s "
+         f"({100*ach_dec/197e12:.2f}%). End-to-end is tunnel-transfer and "
+         "latency bound, not FLOP bound — see --profile for the device-"
+         "program-only times, which run several times faster than wall")
     return cfg.N * N_CLOUDS_TPU / dt
+
+
+def bench_train_step():
+    """Train-step throughput, XLA vs fused-Pallas encoder (fwd + custom-VJP
+    bwd kernel, ops/sa_pallas.py) — VERDICT r2 item 2's measured number.
+    Emits one JSON line per variant to stderr."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from pcc_tpu.cli._common import setup_jax
+    from pcc_tpu.config import CodecConfig
+    from pcc_tpu.train import build_train_step, create_train_state
+    from pcc_tpu.train.state import make_optimizer
+
+    setup_jax()
+    B, REPS = 8, 10
+    results = {}
+    for fused in (False, True):
+        cfg = CodecConfig(compute_dtype="bfloat16", fused_sa=fused)
+        tx = make_optimizer(5e-4, 0.1, 60000, 80000)
+        state = create_train_state(jax.random.key(11), cfg, tx)
+        step = build_train_step(cfg, tx)
+        batch = jnp.asarray(np.stack(synthetic_clouds(B, N=cfg.N, seed=2)))
+        key = jax.random.key(0)
+        state, aux = step(state, batch, key, 0.0)      # compile
+        jax.block_until_ready(aux["loss"])
+        t0 = time.perf_counter()
+        for _ in range(REPS):                          # async-pipelined
+            state, aux = step(state, batch, key, 0.0)
+        jax.block_until_ready(aux["loss"])
+        dt = time.perf_counter() - t0
+        pts = B * cfg.N * REPS / dt
+        results[fused] = pts
+        _log(json.dumps({
+            "metric": f"IPDAE train-step throughput, batch {B} "
+                      f"({'fused Pallas' if fused else 'XLA'} encoder)",
+            "value": round(pts, 1), "unit": "points/sec/chip",
+            "vs_baseline": round(results[True] / results[False], 2)
+            if fused else None,
+        }))
+    return results
+
+
+def bench_full_secondaries():
+    """--full: PPPF compress, PPPE, and S3DIS-scale (N=65536) operating
+    points (VERDICT r2 item 7). JSON lines on stderr."""
+    import jax
+
+    from pcc_tpu.cli._common import init_params_cpu, setup_jax
+    from pcc_tpu.codec import Codec
+    from pcc_tpu.config import CodecConfig, PPPEConfig
+
+    setup_jax()
+
+    def emit(metric, value, unit="points/sec/chip"):
+        _log(json.dumps({"metric": metric, "value": round(value, 1),
+                         "unit": unit, "vs_baseline": None}))
+
+    # --- PPPF-AE full binary pipeline ---
+    try:
+        cfg = CodecConfig(model="PPPF-AE", compute_dtype="bfloat16")
+        ae_params, prob_params = init_params_cpu(11, cfg)
+        codec = Codec(cfg, ae_params, prob_params, batch_size=32)
+        clouds = synthetic_clouds(64, seed=3)
+        streams = codec.compress_many(clouds[:32])     # warmup
+        codec.decompress_many(streams)
+        t0 = time.perf_counter()
+        streams = codec.compress_many(clouds[32:])
+        outs = codec.decompress_many(streams)
+        dt = time.perf_counter() - t0
+        assert len(outs) == 32
+        emit("PPPF-AE encode+decode throughput, K256 N8192",
+             cfg.N * 32 / dt)
+    except Exception as e:
+        _log(f"PPPF secondary bench failed: {type(e).__name__}: {e}")
+
+    # --- PPPE whole-cloud fast pipeline (raw-latent contract) ---
+    try:
+        import jax.numpy as jnp
+
+        from pcc_tpu.train.steps_pppe import create_pppe_state, \
+            make_pppe_model, make_pppe_optimizer
+
+        pcfg = PPPEConfig(compute_dtype="bfloat16")
+        state = create_pppe_state(jax.random.key(11), pcfg,
+                                  make_pppe_optimizer(1e-4))
+        model = make_pppe_model(pcfg)
+        variables = {"params": state.params["ae"],
+                     "batch_stats": state.batch_stats["ae"]}
+        B = 8
+        batch = jnp.asarray(np.stack(synthetic_clouds(B, N=pcfg.N, seed=4)))
+
+        @jax.jit
+        def roundtrip(batch):
+            lat = model.apply(variables, batch, method=model.encode)
+            return model.apply(variables, lat, method=model.decode)
+
+        out = roundtrip(batch)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = roundtrip(batch)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        emit("PPPE encode+decode throughput (device programs), N8192",
+             pcfg.N * B * 5 / dt)
+    except Exception as e:
+        _log(f"PPPE secondary bench failed: {type(e).__name__}: {e}")
+
+    # --- S3DIS-scale clouds through the IPDAE codec ---
+    try:
+        cfg = CodecConfig(compute_dtype="bfloat16")
+        ae_params, prob_params = init_params_cpu(11, cfg)
+        codec = Codec(cfg, ae_params, prob_params, batch_size=4)
+        N = 65536
+        clouds = synthetic_clouds(12, N=N, seed=5)
+        streams = codec.compress_many(clouds[:4])      # warmup
+        codec.decompress_many(streams)
+        t0 = time.perf_counter()
+        streams = codec.compress_many(clouds[4:])
+        outs = codec.decompress_many(streams)
+        dt = time.perf_counter() - t0
+        assert outs[-1].shape[0] == N
+        emit("IPDAE encode+decode throughput, S3DIS-scale N65536",
+             N * 8 / dt)
+    except Exception as e:
+        _log(f"rooms secondary bench failed: {type(e).__name__}: {e}")
 
 
 def bench_baseline():
@@ -265,14 +398,21 @@ def profile_breakdown():
     ae_params, prob_params = init_params_cpu(11, cfg)
     codec = Codec(cfg, ae_params, prob_params, batch_size=BATCH)
     clouds = synthetic_clouds(BATCH)
+    from pcc_tpu.codec import pack_clouds_u16
+    qh, loh, sch = pack_clouds_u16(np.stack(clouds))
+    q_d, lo_d, sc_d = jnp.asarray(qh), jnp.asarray(loh), jnp.asarray(sch)
     pcs = jnp.asarray(np.stack(clouds))
     starts = jnp.zeros((BATCH,), jnp.int32)
 
     enc = codec._encode_fn(cfg.N)
     cdf_fn, dec_fn = codec._decode_fns(cfg.S)
 
+    def run_enc():
+        return enc(codec.ae_params, codec.prob_params, q_d, lo_d, sc_d,
+                   starts)
+
     # warmup/compile
-    res = enc(codec.ae_params, codec.prob_params, pcs, starts)
+    res = run_enc()
     cdf = cdf_fn(codec.prob_params, res.rec_xyz)
     jax.block_until_ready((res, cdf))
 
@@ -298,8 +438,7 @@ def profile_breakdown():
               f"({dt*1e3/BATCH:.3f} ms/cloud), incl. 1-elem fetch")
         return out, dt
 
-    res, t_enc = timed("device encode program",
-                       lambda: enc(codec.ae_params, codec.prob_params, pcs, starts))
+    res, t_enc = timed("device encode program", run_enc)
     cdf, t_cdf = timed("device cdf program",
                        lambda: cdf_fn(codec.prob_params, res.rec_xyz))
 
@@ -374,7 +513,10 @@ def profile_breakdown():
     syms, cdfs, depths, codes = _fetch_all(res.sym, cdf, res.depth,
                                            res.sorted_codes)
     syms = syms.astype(np.int16)
-    cdfs = cdfs.astype(np.int32)
+    t0 = time.perf_counter()
+    cdfs = codec._cdf_host(cdfs)   # integer staircase from uint16 weights
+    _log(f"host cdf staircase: {(time.perf_counter()-t0)*1e3:.1f} "
+         f"ms/batch{BATCH}")
     codes = codes.astype(np.int64)
 
     t0 = time.perf_counter()
@@ -392,7 +534,7 @@ def profile_breakdown():
     print(f"host octree serializer (serial): {t_bits*1e3:.1f} ms/batch{BATCH}")
 
     t0 = time.perf_counter()
-    codec.compress_many(clouds)
+    streams = codec.compress_many(clouds)
     t_full = time.perf_counter() - t0
     serial = (t_enc + t_cdf + t_rc + t_bits) * 1e3
     delta = serial - t_full * 1e3
@@ -404,6 +546,49 @@ def profile_breakdown():
           f"({t_full*1e3/BATCH:.3f} ms/cloud); serial stage sum "
           f"{serial:.1f} ms -> {verdict}")
 
+    # ------------------------------------------------------------ decode --
+    from pcc_tpu.coding.octree_host import (codes_to_points,
+                                            parse_octree_bits, unpack_bits)
+
+    t0 = time.perf_counter()
+    parsed = []
+    for p_b, s_b, c_b in streams:
+        codes, depth = parse_octree_bits(unpack_bits(s_b))
+        parsed.append(codes_to_points(codes, depth))
+    t_parse = time.perf_counter() - t0
+    print(f"host skeleton parse (serial): {t_parse*1e3:.1f} ms/batch{BATCH}")
+
+    recs = jnp.asarray(np.stack(parsed))
+    cdfs_np = codec._cdf_host(np.asarray(cdf_fn(codec.prob_params, recs)))
+    t0 = time.perf_counter()
+    syms = [rangecoder.decode_quantized_cdf(cdfs_np[j], streams[j][0])
+            .astype(np.int16) for j in range(BATCH)]
+    t_rd = time.perf_counter() - t0
+    print(f"host range decoder (serial): {t_rd*1e3:.1f} ms/batch{BATCH} "
+          f"({t_rd*1e3/BATCH:.3f} ms/cloud); threaded in the codec")
+
+    syms_dev = jnp.asarray(np.stack(syms))
+    dec_out = dec_fn(codec.ae_params, syms_dev, recs)  # warmup compile
+    jax.block_until_ready(dec_out)
+    _, t_dec = timed("device decoder program",
+                     lambda: dec_fn(codec.ae_params, syms_dev, recs))
+
+    t0 = time.perf_counter()
+    _fetch_all(*dec_out)
+    t_fetch = time.perf_counter() - t0
+    print(f"decoded-cloud fetch (packed uint16): {t_fetch*1e3:.1f} "
+          f"ms/batch{BATCH}")
+
+    t0 = time.perf_counter()
+    codec.decompress_many(streams)
+    t_dfull = time.perf_counter() - t0
+    dserial = (t_parse + t_cdf + t_rd + t_dec + t_fetch) * 1e3
+    print(f"full decompress_many: {t_dfull*1e3:.1f} ms/batch{BATCH} "
+          f"({t_dfull*1e3/BATCH:.3f} ms/cloud); serial decode stage sum "
+          f"{dserial:.1f} ms (parse {t_parse*1e3:.0f} + cdf {t_cdf*1e3:.0f} "
+          f"+ rangedec {t_rd*1e3:.0f} + decoder {t_dec*1e3:.0f} "
+          f"+ fetch {t_fetch*1e3:.0f})")
+
 
 def main():
     if "--baseline" in sys.argv:
@@ -412,8 +597,19 @@ def main():
     if "--profile" in sys.argv:
         profile_breakdown()
         return
+    if "--train" in sys.argv:
+        bench_train_step()
+        return
+    if "--full" in sys.argv:
+        bench_full_secondaries()
+        return
     value = bench_tpu()
+    try:
+        bench_train_step()
+    except Exception as e:
+        _log(f"train-step bench failed: {type(e).__name__}: {e}")
     baseline = get_baseline()
+    # the ONE-json-line stdout contract comes last so it is the tail
     print(json.dumps({
         "metric": "encode+decode throughput, ModelNet40-config K256 N8192",
         "value": round(value, 1),

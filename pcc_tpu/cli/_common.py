@@ -45,3 +45,28 @@ def init_params_cpu(seed: int, cfg):
         return init_params(jax.random.key(seed), cfg)
     with jax.default_device(cpu):
         return init_params(jax.random.key(seed), cfg)
+
+
+def add_devices_flag(parser) -> None:
+    parser.add_argument(
+        "--devices", type=int, default=1,
+        help="Data-parallel device count (SURVEY.md §2.5): >1 builds a "
+             "jax.sharding mesh over the first N local devices and shards "
+             "the cloud batch across it. 1 = single-device (default).")
+
+
+def maybe_mesh(n_devices: int):
+    """None for single-device, else a ('data',) Mesh over n devices."""
+    if n_devices <= 1:
+        return None
+    import jax
+
+    from pcc_tpu.parallel import make_mesh
+
+    avail = len(jax.devices())
+    if avail < n_devices:
+        raise SystemExit(
+            f"--devices {n_devices} requested but only {avail} device(s) "
+            "visible (for CPU testing: JAX_PLATFORMS=cpu XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N)")
+    return make_mesh(n_devices)

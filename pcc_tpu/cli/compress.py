@@ -55,17 +55,20 @@ def build_parser():
                    help="bf16 mixed-precision network compute. Streams remain "
                         "decodable (decompress with --bf16 too: both sides "
                         "derive the CDF from the same compiled program).")
+    from pcc_tpu.cli._common import add_devices_flag
+    add_devices_flag(p)
     return p
 
 
 def load_codec(model_load_folder: str, cfg: CodecConfig, seed: int,
-               batch_size: int = 16) -> Codec:
+               batch_size: int = 16, mesh=None) -> Codec:
     ae_params, prob_params = load_inference_params(model_load_folder)
     if ae_params is None:
         print(f"WARNING: no ae.pkl/prob.pkl in {model_load_folder}; "
               "using randomly initialized weights.")
         ae_params, prob_params = init_params_cpu(seed, cfg)
-    return Codec(cfg, ae_params, prob_params, batch_size=batch_size)
+    return Codec(cfg, ae_params, prob_params, batch_size=batch_size,
+                 mesh=mesh)
 
 
 def main(argv=None):
@@ -86,8 +89,15 @@ def main(argv=None):
     if args.attributes:
         return _compress_with_attributes(args, cfg, files)
 
+    from pcc_tpu.cli._common import maybe_mesh
+    mesh = maybe_mesh(args.devices)
+    if mesh is not None:
+        print(f"data-parallel compression over {args.devices} devices")
+        if args.batch_size % args.devices:
+            args.batch_size = args.devices * max(
+                1, args.batch_size // args.devices)
     codec = load_codec(args.model_load_folder, cfg, args.seed,
-                       batch_size=args.batch_size)
+                       batch_size=args.batch_size, mesh=mesh)
 
     clouds = [read_point_cloud(f) for f in files]
     # warmup/compile on the first cloud so the timed run is steady-state

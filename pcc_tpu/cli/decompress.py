@@ -49,7 +49,67 @@ def build_parser():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 mixed-precision network compute (must match the "
                         "compress-side setting so the CDF program is identical).")
+    from pcc_tpu.cli._common import add_devices_flag
+    add_devices_flag(p)
+    p.add_argument("--format", default="native", choices=["native", "torchac"],
+                   help="Latent-stream format of the .p.bin inputs. "
+                        "'native': this framework's range-coded format "
+                        "(integer-deterministic CDFs). 'torchac': decode "
+                        "reference-produced archives (torchac arithmetic "
+                        "streams, reference compress.py:136) — use with "
+                        "weights imported via import_torch_checkpoint so "
+                        "the probability model matches the encoder's.")
     return p
+
+
+def _decompress_torchac(args, cfg, files):
+    """Decode reference-written streams: torchac .p.bin + reference-layout
+    .s.bin/.c.bin (reference decompress.py:72-122), through this
+    framework's device pipeline. Interop path — per-cloud loop, float CDFs
+    (the reference's pmf_to_cdf contract, pn_kit.py:452-461)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pcc_tpu.cli.compress import load_codec
+    from pcc_tpu.codec import decode_cloud, make_models
+    from pcc_tpu.coding import torchac_compat
+    from pcc_tpu.coding.octree_host import (codes_to_points,
+                                            parse_octree_bits, unpack_bits)
+    from pcc_tpu.coding.pmf import pmf_to_cdf
+
+    codec = load_codec(args.model_load_folder, cfg, args.seed)
+    _, prob = make_models(codec.cfg)
+
+    @jax.jit
+    def float_cdf(rec):
+        return pmf_to_cdf(prob.apply(codec.prob_params, rec[None])[0])
+
+    start = time.time()
+    dec_cache = {}
+    for f in files:
+        name = os.path.split(f)[1][: -len(".s.bin")]
+        with open(os.path.join(args.compressed_path, name + ".s.bin"), "rb") as fi:
+            codes, depth = parse_octree_bits(unpack_bits(fi.read()))
+        rec = codes_to_points(codes, depth)
+        S = rec.shape[0]
+        cdf = np.asarray(float_cdf(jnp.asarray(rec)))        # [S, d, L+1]
+        with open(os.path.join(args.compressed_path, name + ".p.bin"), "rb") as fi:
+            sym = torchac_compat.decode_float_cdf(cdf, fi.read())
+        with open(os.path.join(args.compressed_path, name + ".c.bin"), "rb") as fi:
+            header = np.frombuffer(fi.read(), dtype=np.float32)
+        if S not in dec_cache:
+            dec_cache[S] = jax.jit(functools.partial(
+                decode_cloud, cfg=codec.cfg.with_n(S * codec.cfg.k)))
+        dec = dec_cache[S]
+        pc = np.asarray(dec(codec.ae_params, jnp.asarray(sym.astype(np.int16)),
+                            jnp.asarray(rec), jnp.asarray(header[:3]),
+                            jnp.asarray(header[3])))
+        save_point_cloud(pc, name + ".bin.ply", path=args.decompressed_path)
+    print(f"Done! Execution time: "
+          f"{round((time.time()-start) / len(files), 5)}s per point cloud.")
 
 
 def main(argv=None):
@@ -69,9 +129,18 @@ def main(argv=None):
 
     if args.attributes:
         return _decompress_with_attributes(args, cfg, files)
+    if args.format == "torchac":
+        return _decompress_torchac(args, cfg, files)
 
+    from pcc_tpu.cli._common import maybe_mesh
+    mesh = maybe_mesh(args.devices)
+    if mesh is not None:
+        print(f"data-parallel decompression over {args.devices} devices")
+        if args.batch_size % args.devices:
+            args.batch_size = args.devices * max(
+                1, args.batch_size // args.devices)
     codec = load_codec(args.model_load_folder, cfg, args.seed,
-                       batch_size=args.batch_size)
+                       batch_size=args.batch_size, mesh=mesh)
 
     names, streams = [], []
     for f in files:

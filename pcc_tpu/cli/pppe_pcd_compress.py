@@ -62,9 +62,9 @@ ENTROPY_MAGIC = 0x45505045  # "EPPE"
 def save_binary(latent: np.ndarray, out_path: str) -> None:
     """uint32 count header + float32 payload (pppe_pcd_compress.py:36-41)."""
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    arr = np.asarray(latent, dtype=np.float32)
+    arr = np.asarray(latent, dtype="<f4")
     with open(out_path, "wb") as f:
-        f.write(struct.pack("I", arr.shape[0]))
+        f.write(struct.pack("<I", arr.shape[0]))
         arr.tofile(f)
 
 
@@ -79,15 +79,25 @@ def save_binary_entropy(latent: np.ndarray, L: int, out_path: str) -> None:
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     lat = np.asarray(latent, dtype=np.float32).reshape(-1)
+    # the header carries the latent length as uint16 and L as uint8 —
+    # validate up front so out-of-range configs fail with a clear message
+    # instead of a struct.error at write time
+    if lat.shape[0] >= 1 << 16:
+        raise ValueError(
+            f"entropy stream header caps latent length at 65535 "
+            f"(got {lat.shape[0]}); use the raw float format for larger d")
+    if L >= 256:
+        raise ValueError(f"entropy stream header caps L at 255 (got {L})")
     sym = np.clip(np.round(lat), 0, L - 1).astype(np.int16)
-    counts = np.bincount(sym, minlength=L).astype(np.uint32)
+    counts = np.bincount(sym, minlength=L).astype("<u4")
     pmf = counts / counts.sum()
     cdf = np.concatenate([[0.0], np.cumsum(pmf)])          # [L+1]
     payload = encode_float_cdf(np.tile(cdf, (sym.shape[0], 1)), sym)
+    # explicit little-endian so the on-disk contract is byte-order portable
     with open(out_path, "wb") as f:
-        f.write(struct.pack("IHBB", ENTROPY_MAGIC, lat.shape[0], L, 0))
+        f.write(struct.pack("<IHBB", ENTROPY_MAGIC, lat.shape[0], L, 0))
         counts.tofile(f)
-        f.write(struct.pack("I", len(payload)))
+        f.write(struct.pack("<I", len(payload)))
         f.write(payload)
 
 

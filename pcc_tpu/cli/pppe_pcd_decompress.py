@@ -60,9 +60,9 @@ def build_parser():
 
 def load_binary(in_path: str) -> np.ndarray:
     with open(in_path, "rb") as f:
-        n = struct.unpack("I", f.read(4))[0]
-        arr = np.fromfile(f, dtype=np.float32)
-    return arr.reshape(1, n)
+        n = struct.unpack("<I", f.read(4))[0]
+        arr = np.fromfile(f, dtype="<f4")
+    return arr.astype(np.float32).reshape(1, n)
 
 
 def load_binary_any(in_path: str):
@@ -73,12 +73,12 @@ def load_binary_any(in_path: str):
     from pcc_tpu.coding.rangecoder import decode_float_cdf
 
     with open(in_path, "rb") as f:
-        magic = struct.unpack("I", f.read(4))[0]
+        magic = struct.unpack("<I", f.read(4))[0]
         if magic != ENTROPY_MAGIC:
             return load_binary(in_path), False
-        d, L, _ = struct.unpack("HBB", f.read(4))
-        counts = np.fromfile(f, dtype=np.uint32, count=L)
-        nbytes = struct.unpack("I", f.read(4))[0]
+        d, L, _ = struct.unpack("<HBB", f.read(4))
+        counts = np.fromfile(f, dtype="<u4", count=L).astype(np.uint64)
+        nbytes = struct.unpack("<I", f.read(4))[0]
         payload = f.read(nbytes)
     pmf = counts / counts.sum()
     cdf = np.concatenate([[0.0], np.cumsum(pmf)])

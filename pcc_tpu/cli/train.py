@@ -71,7 +71,16 @@ def build_parser():
                    help="bf16 mixed-precision network compute (TPU counterpart "
                         "of the reference's AMP autocast, train.py:168,275); "
                         "params/optimizer stay float32.")
+    p.add_argument("--fused_encoder", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="Fused Pallas patch encoder in the train step "
+                        "(forward + custom-VJP backward kernel, "
+                        "ops/sa_pallas.py). auto = on for single-device TPU "
+                        "IPDAE training, off elsewhere (the kernel is not "
+                        "GSPMD-partitionable under plain jit).")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    from pcc_tpu.cli._common import add_devices_flag
+    add_devices_flag(p)
     p.add_argument("--jax_debug_nans", action="store_true",
                    help="Enable jax debug_nans (fail fast on NaN).")
     p.add_argument("--profile_dir", default=None,
@@ -86,10 +95,17 @@ def main(argv=None):
     setup_jax()
     if args.jax_debug_nans:
         jax.config.update("jax_debug_nans", True)
+    from pcc_tpu.cli._common import maybe_mesh
+    mesh = maybe_mesh(args.devices)
+    fused = args.fused_encoder == "on" or (
+        args.fused_encoder == "auto" and args.model == "AE" and mesh is None
+        and jax.default_backend() == "tpu" and jax.device_count() == 1)
     cfg = CodecConfig(N=args.N, N0=args.N0, ALPHA=args.ALPHA, K=args.K,
                       d=args.d, L=args.L,
-                      compute_dtype="bfloat16" if args.bf16 else "float32")
-    print(f"Training {args.model} on {jax.devices()[0].platform}")
+                      compute_dtype="bfloat16" if args.bf16 else "float32",
+                      fused_sa=fused)
+    print(f"Training {args.model} on {jax.devices()[0].platform}"
+          + (" (fused Pallas encoder)" if fused else ""))
     print(f"N={cfg.N}, K={cfg.K}, S={cfg.S}, d={cfg.d}, L={cfg.L}")
 
     os.makedirs(args.model_save_folder, exist_ok=True)
@@ -101,15 +117,24 @@ def main(argv=None):
     points = read_point_clouds(files)
     print(f"Loaded {points.shape} points, range: [{points.min()}, {points.max()}]")
 
+    tx = make_optimizer(args.lr, args.lr_decay, args.lr_decay_steps, args.max_steps)
     if args.model == "AE":
-        tx = make_optimizer(args.lr, args.lr_decay, args.lr_decay_steps, args.max_steps)
         state = create_train_state(jax.random.key(args.seed), cfg, tx)
-        train_step = build_train_step(cfg, tx, rate_mode=args.rate_mode)
+        if mesh is not None:
+            from pcc_tpu.parallel import build_sharded_train_step
+            train_step = build_sharded_train_step(cfg, tx, mesh,
+                                                  rate_mode=args.rate_mode)
+        else:
+            train_step = build_train_step(cfg, tx, rate_mode=args.rate_mode)
     elif args.model == "PPPF-AE":
         from pcc_tpu.train.steps_pppf import build_pppf_train_step, create_pppf_state
-        tx = make_optimizer(args.lr, args.lr_decay, args.lr_decay_steps, args.max_steps)
         state = create_pppf_state(jax.random.key(args.seed), cfg, tx)
-        train_step = build_pppf_train_step(cfg, tx, rate_mode=args.rate_mode)
+        if mesh is not None:
+            from pcc_tpu.parallel import build_sharded_pppf_train_step
+            train_step = build_sharded_pppf_train_step(
+                cfg, tx, mesh, rate_mode=args.rate_mode)
+        else:
+            train_step = build_pppf_train_step(cfg, tx, rate_mode=args.rate_mode)
     else:
         raise ValueError(f"Unknown model type: {args.model}")
 
@@ -119,6 +144,16 @@ def main(argv=None):
         print(f"Resuming from step {start_step}")
     else:
         print("Resetting training from scratch.")
+
+    if mesh is not None:
+        from pcc_tpu.parallel import replicate
+        if args.batch_size % args.devices:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by "
+                f"--devices {args.devices}")
+        print(f"data-parallel training over {args.devices} devices "
+              f"({args.batch_size // args.devices} clouds/device/step)")
+        state = replicate(mesh, state)
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.key(args.seed + 1)
@@ -139,7 +174,13 @@ def main(argv=None):
             batch = points[order[lo : lo + B]]
             lam = args.lamda if global_step >= args.rate_loss_enable_step else 0.0
             key, sub = jax.random.split(key)
-            state, aux = train_step(state, batch, sub, lam)
+            if mesh is not None:
+                from pcc_tpu.parallel import shard_batch
+                with mesh:
+                    state, aux = train_step(state, shard_batch(mesh, batch),
+                                            sub, lam)
+            else:
+                state, aux = train_step(state, batch, sub, lam)
             global_step += 1
 
             # keep aux as device arrays — converting every step would sync

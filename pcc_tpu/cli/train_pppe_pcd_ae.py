@@ -55,6 +55,8 @@ def build_parser():
                    help="bf16 mixed-precision network compute (AMP "
                         "counterpart, reference train_pppe:172,215).")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    from pcc_tpu.cli._common import add_devices_flag
+    add_devices_flag(p)
     return p
 
 
@@ -98,9 +100,20 @@ def main(argv=None):
                      compute_dtype="bfloat16" if args.bf16 else "float32")
     points = load_training_points(args.train_glob)
 
+    from pcc_tpu.cli._common import maybe_mesh
+    mesh = maybe_mesh(args.devices)
     tx = make_pppe_optimizer(args.lr)
     state = create_pppe_state(jax.random.key(args.seed), cfg, tx)
-    train_step = build_pppe_train_step(cfg, tx)
+    if mesh is not None:
+        from pcc_tpu.parallel import build_sharded_pppe_train_step
+        if args.batch_size % args.devices:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by "
+                f"--devices {args.devices}")
+        print(f"data-parallel training over {args.devices} devices")
+        train_step = build_sharded_pppe_train_step(cfg, tx, mesh)
+    else:
+        train_step = build_pppe_train_step(cfg, tx)
 
     center, longest = compute_dataset_norm(points)
     with open(os.path.join(args.model_save_folder, "dataset_norm.pkl"), "wb") as f:
@@ -112,6 +125,9 @@ def main(argv=None):
         print(f"Resuming from step {start_step}")
     else:
         print("Starting training from scratch.")
+    if mesh is not None:
+        from pcc_tpu.parallel import replicate
+        state = replicate(mesh, state)
 
     rng = np.random.default_rng(args.seed)
     B = args.batch_size
@@ -128,7 +144,13 @@ def main(argv=None):
                 break
             batch = points[order[lo : lo + B]]
             lam_eff = 1.0 * min(1.0, global_step / max(1, args.warmup_steps))
-            state, aux = train_step(state, batch, lam_eff)
+            if mesh is not None:
+                from pcc_tpu.parallel import shard_batch
+                with mesh:
+                    state, aux = train_step(
+                        state, shard_batch(mesh, batch), lam_eff)
+            else:
+                state, aux = train_step(state, batch, lam_eff)
             # The NaN/Inf skip is enforced *inside* the jitted step (the
             # update is zeroed); checking the flag per step here would sync
             # the dispatch pipeline, so anomalies are reported per window.

@@ -56,11 +56,33 @@ class CodecConfig:
     # (ae.sa/ae.pn, compress.py:112-122) and so cannot code PPPF streams;
     # here both families share the full binary pipeline (extension).
     model: str = "AE"
-    # Fused Pallas SetAbstraction (ops/sa_pallas.py) in the IPDAE encoder.
-    # Inference-only (no backward rule) and single-program (not GSPMD-
-    # partitionable), so it stays off by default; the Codec wrapper turns
-    # it on for its jitted single-chip pipelines (codec.py).
+    # Fused Pallas SetAbstraction / whole-encoder kernel (ops/sa_pallas.py)
+    # in the IPDAE encoder. Differentiable (custom-VJP backward kernel) but
+    # single-program (not GSPMD-partitionable via jit alone), so it stays
+    # off by default; the Codec wrapper and the single-chip train CLI turn
+    # it on (codec.py, cli/train.py).
     fused_sa: bool = False
+    # Fused Pallas patch decoder (ops/decoder_pallas.py). Inference-only
+    # (no backward rule): the Codec enables it; the training forward keeps
+    # the XLA decoder.
+    fused_decode: bool = False
+    # Coding-CDF derivation (coding/iprob.py). "integer": deterministic
+    # fixed-point inference of the conditional probability model — CDFs are
+    # byte-identical across backends/compilations/topologies, so a stream
+    # encoded on an 8-chip mesh decodes on one chip (and survives XLA
+    # upgrades). "float": the f32 network + on-device uint16 staircase —
+    # only safe when both codec sides share one compiled program (the PPPF
+    # family still uses this: its PN++ prob backbone is not integerized).
+    cdf_mode: str = "integer"
+
+    def __post_init__(self):
+        # the encoded symbol array travels as int8 (codec.py EncodeResult)
+        # and the PPPE entropy header packs L as one byte: L beyond 128
+        # would silently wrap into a corrupt-but-decodable stream
+        if not 2 <= self.L <= 128:
+            raise ValueError(
+                f"L={self.L} out of range [2, 128]: symbols are carried as "
+                "int8 in the coding pipeline")
 
     @property
     def S(self) -> int:

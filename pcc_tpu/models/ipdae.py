@@ -37,7 +37,8 @@ class PatchAE(nn.Module):
     L: int = 7
     sa_knn: int = 16
     dtype: Any = None  # bf16 mixed-precision compute when set (params stay f32)
-    fused_sa: bool = False  # inference-only Pallas SA (config.py::fused_sa)
+    fused_sa: bool = False      # fused Pallas encoder (config.py::fused_sa)
+    fused_decode: bool = False  # fused Pallas decoder, inference-only
 
     def setup(self):
         self.sa = SetAbstraction(knn=self.sa_knn, mlp=(32, 64, 128),
@@ -57,19 +58,21 @@ class PatchAE(nn.Module):
     def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
         """[B, K, 3] -> pre-quantization latent [B, d] (already spread into
         the quantizer range; AE.py:36-44)."""
-        import jax
+        from pcc_tpu.ops.pallas_gate import pallas_gate
 
-        if self.fused_sa and jax.default_backend() == "tpu":
+        use_fused, interp = pallas_gate()
+        if self.fused_sa and use_fused:
             # whole-encoder Pallas fusion (ops/sa_pallas.py): SA + concat +
-            # PointNet + global max in one VMEM-resident kernel. Inference
-            # only — the probe calls create/visit the exact same parameter
-            # tree the XLA path uses.
-            from pcc_tpu.ops.sa_pallas import patch_encoder_fused
+            # PointNet + global max in one VMEM-resident kernel, with a
+            # custom-VJP backward kernel so training takes this path too.
+            # The probe calls create/visit the exact same parameter tree
+            # the XLA path uses.
+            from pcc_tpu.ops.sa_pallas import patch_encoder_trainable
 
-            latent = patch_encoder_fused(
+            latent = patch_encoder_trainable(
                 patches, self.sa(patches, probe=True),
                 self.pn(jnp.zeros((1, 1, 3 + 128), jnp.float32), probe=True),
-                knn=self.sa_knn, compute_dtype=self.dtype)
+                knn=self.sa_knn, compute_dtype=self.dtype, interpret=interp)
         else:
             feats = self.sa(patches)                               # [B, K, 128]
             latent = self.pn(jnp.concatenate([patches, feats], axis=-1))
@@ -80,8 +83,35 @@ class PatchAE(nn.Module):
     def quantize(self, latent: jnp.ndarray) -> jnp.ndarray:
         return ste_round(latent)
 
+    def _probe_inv_pool(self):
+        """Materialize the inv_pool params (same names/shapes as the
+        compute path) and return their f32 (kernel, bias) pairs — the
+        decode-side twin of PointwiseMLP's probe mode (layers.py)."""
+        wb = []
+        C = self.d
+        for i, layer in enumerate(self.inv_pool):
+            layer(jnp.zeros((1, C), jnp.float32))
+            p = self.variables["params"][f"inv_pool_{i}"]["linear"]
+            wb.append((p["kernel"], p["bias"]))
+            C = p["kernel"].shape[-1]
+        return wb
+
     def decode(self, latent_q: jnp.ndarray) -> jnp.ndarray:
         """[B, d] quantized latent -> [B, k, 3] patch points (AE.py:47-53)."""
+        from pcc_tpu.ops.pallas_gate import pallas_gate
+
+        use_fused, interp = pallas_gate()
+        if self.fused_decode and use_fused:
+            # fused Pallas decoder (ops/decoder_pallas.py): expansion +
+            # fold + tile + inv_mlp in one kernel, inference-only — the
+            # probes visit the exact parameter tree the XLA path creates
+            from pcc_tpu.ops.decoder_pallas import patch_decoder_fused
+
+            return patch_decoder_fused(
+                latent_q.astype(jnp.float32), self._probe_inv_pool(),
+                self.inv_mlp(jnp.zeros((1, 1, 128 + self.d), jnp.float32),
+                             probe=True),
+                k=self.k, compute_dtype=self.dtype, interpret=interp)
         x = latent_q
         for layer in self.inv_pool:
             x = nn.relu(layer(x))                                  # [B, k*128]

@@ -87,26 +87,24 @@ class PointwiseMLP(nn.Module):
                  probe: bool = False):
         """probe=True returns the layer (kernel, bias) pairs instead of
         running the MLP — for fused Pallas consumers (ops/sa_pallas.py).
-        Each dense is probed with [eye(C); 0] so parameters are created
-        under exactly the same names/shapes as the compute path (flax
-        materializes params at the call site), and W = y[:C] - y[C], b =
-        y[C] recovers them exactly (the layer is affine). x only supplies
-        the input width in probe mode."""
+        Each dense is called once on a zero row so flax materializes its
+        parameters under exactly the same names/shapes as the compute path,
+        then the raw f32 kernels/biases are read back via `self.variables`
+        — bitwise the stored params (no affine-probe rounding), so the
+        fused and XLA encoders see identical weights. x only supplies the
+        input width in probe mode."""
         relu = self.relu if self.relu is not None else [True] * len(self.features)
         if probe:
             assert not self.use_bn, "probe mode bypasses BatchNorm"
             wb = []
             C = x.shape[-1]
             for i, f in enumerate(self.features):
-                # dtype=None so the probe runs in f32 and recovers the
-                # exact f32 params; the fused kernel then casts to the
-                # compute dtype itself, just as flax Dense would. Same
-                # scope name => same parameters as the compute path.
-                dense = TorchDense(f, dtype=None, name=f"dense_{i}")
-                y = dense(jnp.concatenate(
-                    [jnp.eye(C, dtype=jnp.float32),
-                     jnp.zeros((1, C), jnp.float32)], axis=0))
-                wb.append((y[:C] - y[C], y[C]))
+                # dtype=None: params are created/stored f32; the fused
+                # kernel casts to the compute dtype itself, as Dense would
+                TorchDense(f, dtype=None, name=f"dense_{i}")(
+                    jnp.zeros((1, C), jnp.float32))
+                p = self.variables["params"][f"dense_{i}"]["linear"]
+                wb.append((p["kernel"], p["bias"]))
                 C = f
             return wb
         for i, f in enumerate(self.features):
@@ -201,14 +199,17 @@ class SetAbstraction(nn.Module):
                            name="mlp")
         if probe:
             return mlp(xyz, probe=True)
+        from pcc_tpu.ops.pallas_gate import pallas_gate
+
+        use_fused, interp = pallas_gate()
         if (self.fused and not self.use_bn and all(relu)
-                and xyz.ndim == 3 and jax.default_backend() == "tpu"):
+                and xyz.ndim == 3 and use_fused):
             from pcc_tpu.ops.sa_pallas import sa_fused
 
             wb = mlp(xyz, probe=True)
             feats = sa_fused(
                 xyz, [w for w, _ in wb], [b for _, b in wb],
-                knn=self.knn, compute_dtype=self.dtype)
+                knn=self.knn, compute_dtype=self.dtype, interpret=interp)
             # match the XLA path's output dtype (kernel accumulates f32)
             return feats.astype(self.dtype) if self.dtype else feats
         _, _, grouped = knn_points(xyz, xyz, K=self.knn, return_nn=True)

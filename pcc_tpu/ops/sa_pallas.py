@@ -221,3 +221,262 @@ def patch_encoder_fused(patches: jnp.ndarray, sa_wb, pn_wb, *, knn: int = 16,
         interpret=interpret,
     )(patches.astype(jnp.float32), *args)
     return out[:P]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel + custom VJP: the training path (VERDICT r2 item 2).
+#
+# The XLA encoder's backward materializes every grouped-neighbor activation
+# [P, N, knn, C] as a stored residual — the same multi-GB HBM traffic the
+# forward kernel exists to avoid, paid twice (store + reload). This kernel
+# recomputes the whole encoder forward from scratch inside VMEM (the
+# rematerialization trade the fused design makes cheap: FLOPs are free
+# relative to HBM here) and backpropagates through it, emitting the patch
+# gradient blockwise and accumulating weight/bias gradients across the
+# sequential TPU grid.
+#
+# Gradient semantics match the XLA path (reference train.py autograd over
+# pn_kit.py:146-211 + 98-144): KNN selection indices carry no gradient
+# (integer argmin), neighbor gathers transpose to scatter-adds (the
+# onehot^T matmul), relu masks are (z > 0), and max-pool routing goes to
+# the argmin/argmax winner — ties between distinct positive activations
+# are measure-zero, and all-dead relu ties die in the relu mask either way
+# (pinned by tests/test_sa_pallas.py gradient-parity tests, atol 1e-4).
+# ---------------------------------------------------------------------------
+
+
+def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
+                        pw1, pb1, pw2, pb2, pw3, pb3, pw4, pb4,
+                        dpts_ref, dsw1_r, dsb1_r, dsw2_r, dsb2_r,
+                        dsw3_r, dsb3_r, dpw1_r, dpb1_r, dpw2_r, dpb2_r,
+                        dpw3_r, dpb3_r, dpw4_r, dpb4_r,
+                        *, knn: int, compute_dtype):
+    """Recompute-and-backprop for one patch block. pts: [BP, N, 3];
+    g: [BP, D] cotangent. Weight-grad outputs accumulate across the grid
+    (their block index is constant; TPU grid steps are sequential)."""
+    pts = pts_ref[...]
+    g = g_ref[...].astype(jnp.float32)
+    BP, N, _ = pts.shape
+
+    def cast(x):
+        return x.astype(compute_dtype) if compute_dtype is not None else x
+
+    def dense_fwd(x, w, b, relu=True):
+        h = jnp.dot(cast(x), cast(w), preferred_element_type=jnp.float32)
+        h = h + b.astype(jnp.float32)
+        if relu:
+            h = jax.nn.relu(h)
+        return cast(h)
+
+    def matmul(a, b):
+        return jnp.dot(cast(a), cast(b), preferred_element_type=jnp.float32)
+
+    sa_w = [sw1[...], sw2[...], sw3[...]]
+    sa_b = [sb1[...], sb2[...], sb3[...]]
+    pn_w = [pw1[...], pw2[...], pw3[...], pw4[...]]
+    pn_b = [pb1[...], pb2[...], pb3[...], pb4[...]]
+    F3 = sa_w[2].shape[-1]
+
+    # ---- recompute the forward: KNN selection + SA max (winner slots) ----
+    sq = jnp.sum(pts * pts, axis=-1)
+    cross = jax.lax.dot_general(
+        pts, pts, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(sq[:, :, None] - 2.0 * cross + sq[:, None, :], 0.0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (BP, N, N), 2)
+
+    def slot_fwd(onehot):
+        nb = jax.lax.dot_general(
+            onehot, pts, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        inp = (nb - pts).reshape(BP * N, 3)
+        a1 = dense_fwd(inp, sa_w[0], sa_b[0])
+        a2 = dense_fwd(a1, sa_w[1], sa_b[1])
+        h = dense_fwd(a2, sa_w[2], sa_b[2])
+        return inp, a1, a2, h.astype(jnp.float32)
+
+    def sel_body(s, carry):
+        d2, acc, best, idxs = carry
+        idx = jnp.argmin(d2, axis=-1)                    # [BP, N]
+        onehot = (iota == idx[:, :, None]).astype(jnp.float32)
+        d2 = d2 + onehot * 1e10
+        _, _, _, h = slot_fwd(onehot)
+        best = jnp.where(h > acc, s, best)
+        acc = jnp.maximum(acc, h)
+        # slot-major layout [knn, BP, N]: the dynamic update slices the
+        # MAJOR dim, which Mosaic handles without a minor-dim relayout
+        idxs = jax.lax.dynamic_update_index_in_dim(idxs, idx, s, 0)
+        return d2, acc, best, idxs
+
+    acc0 = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
+    best0 = jnp.zeros((BP * N, F3), jnp.int32)
+    idxs0 = jnp.zeros((knn, BP, N), jnp.int32)
+    _, feats, best, idxs = jax.lax.fori_loop(
+        0, knn, sel_body, (d2, acc0, best0, idxs0))
+
+    # ---- PointNet forward with stored activations ----
+    x0 = jnp.concatenate(
+        [pts.reshape(BP * N, 3), cast(feats)], axis=-1)
+    x1 = dense_fwd(x0, pn_w[0], pn_b[0])
+    x2 = dense_fwd(x1, pn_w[1], pn_b[1])
+    x3 = dense_fwd(x2, pn_w[2], pn_b[2])
+    z4 = dense_fwd(x3, pn_w[3], pn_b[3], relu=False)
+    D = z4.shape[-1]
+    z4f = z4.astype(jnp.float32).reshape(BP, N, D)
+
+    # ---- backward: global max over points (argmax winner routing) ----
+    win = jnp.argmax(z4f, axis=1)                        # [BP, D]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (BP, N, D), 1)
+    dz4 = jnp.where(iota_n == win[:, None, :], g[:, None, :], 0.0)
+    dz4 = dz4.reshape(BP * N, D)
+
+    def dense_bwd(dz, x_in, w, dw_ref, db_ref, relu_in):
+        """Given dL/dz of layer (z = x_in @ w + b), accumulate dw/db and
+        return dL/dx_in masked by the input layer's relu if requested."""
+        dw_ref[...] += jax.lax.dot_general(
+            x_in.astype(jnp.float32), dz, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        db_ref[...] += jnp.sum(dz, axis=0)
+        dx = jnp.dot(cast(dz), cast(w).T, preferred_element_type=jnp.float32)
+        if relu_in is not None:
+            dx = dx * (relu_in.astype(jnp.float32) > 0.0)
+        return dx
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero_grads():
+        for r in (dsw1_r, dsb1_r, dsw2_r, dsb2_r, dsw3_r, dsb3_r,
+                  dpw1_r, dpb1_r, dpw2_r, dpb2_r, dpw3_r, dpb3_r,
+                  dpw4_r, dpb4_r):
+            r[...] = jnp.zeros_like(r)
+
+    dz3 = dense_bwd(dz4, x3, pn_w[3], dpw4_r, dpb4_r, x3)
+    dz2 = dense_bwd(dz3, x2, pn_w[2], dpw3_r, dpb3_r, x2)
+    dz1 = dense_bwd(dz2, x1, pn_w[1], dpw2_r, dpb2_r, x1)
+    dx0 = dense_bwd(dz1, x0, pn_w[0], dpw1_r, dpb1_r, None)
+
+    dpts = dx0[:, :3].reshape(BP, N, 3)
+    dfeats = dx0[:, 3:]                                  # [BP*N, F3]
+
+    # ---- SA backward per slot (recompute activations from stored idxs) ----
+    def sa_bwd_body(s, dpts):
+        idx_s = jax.lax.dynamic_index_in_dim(idxs, s, 0, keepdims=False)
+        onehot = (iota == idx_s[:, :, None]).astype(jnp.float32)
+        inp, a1, a2, h = slot_fwd(onehot)
+        dh = jnp.where(best == s, dfeats, 0.0)
+        dz3s = dh * (h > 0.0)                            # final relu
+        dsw3_r[...] += jax.lax.dot_general(
+            a2.astype(jnp.float32), dz3s, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsb3_r[...] += jnp.sum(dz3s, axis=0)
+        da2 = matmul(dz3s, sa_w[2].T) * (a2.astype(jnp.float32) > 0.0)
+        dsw2_r[...] += jax.lax.dot_general(
+            a1.astype(jnp.float32), da2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsb2_r[...] += jnp.sum(da2, axis=0)
+        da1 = matmul(da2, sa_w[1].T) * (a1.astype(jnp.float32) > 0.0)
+        dsw1_r[...] += jax.lax.dot_general(
+            inp.astype(jnp.float32), da1, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsb1_r[...] += jnp.sum(da1, axis=0)
+        dinp = matmul(da1, sa_w[0].T).reshape(BP, N, 3)  # d(nb - pts)
+        # nb gather transposes to a scatter-add: d_pts[j] += sum_i 1[idx_i=j] dinp_i
+        dscat = jax.lax.dot_general(
+            onehot, dinp, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return dpts + dscat - dinp
+
+    dpts = jax.lax.fori_loop(0, knn, sa_bwd_body, dpts)
+    dpts_ref[...] = dpts
+
+
+def _encoder_fwd_flat(patches, sa_wb, pn_wb, *, knn, compute_dtype,
+                      block_p, interpret):
+    return patch_encoder_fused(patches, sa_wb, pn_wb, knn=knn,
+                               compute_dtype=compute_dtype, block_p=block_p,
+                               interpret=interpret)
+
+
+def _encoder_bwd_flat(patches, g, sa_wb, pn_wb, *, knn, compute_dtype,
+                      block_p, interpret):
+    """Run the backward kernel over the flat patch batch. Returns
+    (dpatches, dsa_wb, dpn_wb)."""
+    P, N, _ = patches.shape
+    pad = (-P) % block_p
+    if pad:
+        # zero cotangent on padded rows -> zero weight-grad contribution
+        patches = jnp.concatenate(
+            [patches, jnp.zeros((pad, N, 3), patches.dtype)], axis=0)
+        g = jnp.concatenate([g, jnp.zeros((pad, g.shape[1]), g.dtype)], axis=0)
+    Pp = P + pad
+    D = g.shape[-1]
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    acc_spec = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    args, specs = [], []
+    for w, b in list(sa_wb) + list(pn_wb):
+        args += [w, b]
+        specs += [full(w), full(b)]
+
+    grad_shapes = [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in args]
+    out = pl.pallas_call(
+        functools.partial(_encoder_bwd_kernel, knn=knn,
+                          compute_dtype=compute_dtype),
+        grid=(Pp // block_p,),
+        in_specs=[
+            pl.BlockSpec((block_p, N, 3), lambda i: (i, 0, 0)),
+            pl.BlockSpec((block_p, D), lambda i: (i, 0)),
+            *specs,
+        ],
+        out_specs=[pl.BlockSpec((block_p, N, 3), lambda i: (i, 0, 0))]
+        + [acc_spec(a) for a in args],
+        out_shape=[jax.ShapeDtypeStruct((Pp, N, 3), jnp.float32)]
+        + grad_shapes,
+        interpret=interpret,
+    )(patches.astype(jnp.float32), g.astype(jnp.float32), *args)
+    dpatches, grads = out[0][:P], out[1:]
+    dsa_wb = tuple((grads[2 * i], grads[2 * i + 1]) for i in range(3))
+    dpn_wb = tuple((grads[6 + 2 * i], grads[6 + 2 * i + 1]) for i in range(4))
+    return dpatches, dsa_wb, dpn_wb
+
+
+@functools.lru_cache(maxsize=None)
+def _make_trainable_encoder(knn, compute_dtype, block_p, block_p_bwd,
+                            interpret):
+    """custom_vjp wrapper: fused Pallas forward + fused Pallas backward, so
+    training runs the same kernel inference does (VERDICT r2 item 2).
+    block_p_bwd is smaller than block_p: the backward keeps the stored
+    PointNet activations AND the slot bookkeeping resident in VMEM."""
+
+    @jax.custom_vjp
+    def enc(patches, sa_wb, pn_wb):
+        return _encoder_fwd_flat(patches, sa_wb, pn_wb, knn=knn,
+                                 compute_dtype=compute_dtype,
+                                 block_p=block_p, interpret=interpret)
+
+    def enc_fwd(patches, sa_wb, pn_wb):
+        out = enc(patches, sa_wb, pn_wb)
+        return out, (patches, sa_wb, pn_wb)
+
+    def enc_bwd(res, g):
+        patches, sa_wb, pn_wb = res
+        dpatches, dsa_wb, dpn_wb = _encoder_bwd_flat(
+            patches, g, sa_wb, pn_wb, knn=knn, compute_dtype=compute_dtype,
+            block_p=block_p_bwd, interpret=interpret)
+        return dpatches, dsa_wb, dpn_wb
+
+    enc.defvjp(enc_fwd, enc_bwd)
+    return enc
+
+
+def patch_encoder_trainable(patches, sa_wb, pn_wb, *, knn: int = 16,
+                            compute_dtype=None, block_p: int = 8,
+                            block_p_bwd: int = 4, interpret: bool = False):
+    """Differentiable fused patch encoder: forward = patch_encoder_fused,
+    backward = _encoder_bwd_kernel. Drop-in for the training path (the
+    inference primal is identical to patch_encoder_fused)."""
+    enc = _make_trainable_encoder(knn, compute_dtype, block_p, block_p_bwd,
+                                  interpret)
+    # custom_vjp over pytree args: tuples keep the (kernel, bias) structure
+    return enc(patches, tuple(map(tuple, sa_wb)), tuple(map(tuple, pn_wb)))

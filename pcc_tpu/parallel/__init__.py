@@ -3,6 +3,7 @@ from pcc_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     build_sharded_encode,
+    build_sharded_pmf_weights,
     build_sharded_decode,
     build_sharded_train_step,
     build_sharded_pppf_train_step,
@@ -14,6 +15,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "build_sharded_encode",
+    "build_sharded_pmf_weights",
     "build_sharded_decode",
     "build_sharded_train_step",
     "build_sharded_pppf_train_step",

@@ -67,12 +67,14 @@ def build_sharded_decode(cfg: CodecConfig, mesh: Mesh, axis: str = "data"):
       dec_fn(ae_params, sym [B, S, d], rec_xyz, center [B, 3], longest [B])
         -> clouds [B, S*k, 3]
 
-    Params replicated, per-cloud arrays sharded over `axis`. The CDFs come
-    from the same skeleton_cdf source as the single-device path; a stream
-    must be decoded with the cdf program of the mesh shape that encoded it
-    (the Codec always uses one compiled cdf fn for both sides) — across
-    different compilations the quantized rows can differ by one bin at
-    round-to-nearest boundaries (tested/bounded in test_parallel.py)."""
+    Params replicated, per-cloud arrays sharded over `axis`. NOTE: this is
+    the FLOAT cdf path — a stream must be decoded with the cdf program of
+    the mesh shape that encoded it (across different compilations the
+    quantized rows can differ by one bin at round-to-nearest boundaries,
+    tested/bounded in test_parallel.py). The default coding path no longer
+    has this fragility: build_sharded_pmf_weights / cdf_mode="integer"
+    (coding/iprob.py) is bit-exact across topologies. This builder remains
+    for the PPPF family, whose PN++ prob backbone is not integerized."""
     from pcc_tpu.codec import decode_cloud, skeleton_cdf
 
     repl = NamedSharding(mesh, P())
@@ -90,6 +92,27 @@ def build_sharded_decode(cfg: CodecConfig, mesh: Mesh, axis: str = "data"):
         out_shardings=data,
     )
     return cdf_fn, dec_fn
+
+
+def build_sharded_pmf_weights(iprob_bundle, mesh: Mesh, axis: str = "data"):
+    """Data-parallel deterministic coding-CDF weights (coding/iprob.py):
+    rec_xyz [B, S, 3] sharded over `axis` -> uint16 Q16 PMF weights
+    [B, S, d, L] sharded the same way.
+
+    Because the integer spec is bit-exact on every backend/compilation,
+    streams coded with these weights on ANY mesh shape decode on ANY other
+    (tested: 8-device encode -> fresh single-device decode, byte-identical;
+    tests/test_parallel.py). This removes the float path's ±1-bin
+    cross-compilation drift documented on build_sharded_decode."""
+    import jax.numpy as jnp
+
+    from pcc_tpu.codec import skeleton_pmf_weights
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis))
+    bundle = jax.device_put(jax.tree.map(jnp.asarray, iprob_bundle), repl)
+    return jax.jit(lambda recs: skeleton_pmf_weights(bundle, recs),
+                   in_shardings=(data,), out_shardings=data)
 
 
 def build_sharded_pppf_train_step(cfg: CodecConfig, tx, mesh: Mesh,

@@ -253,3 +253,76 @@ print("SHARDED_LOSS", float(auxN["loss"]))
     _, aux1 = step1(state1, jnp.asarray(batch), 1e-2)
     # same BN reduction-order tolerance note as the PPPF test above
     np.testing.assert_allclose(float(aux1["loss"]), sharded_loss, rtol=5e-3)
+
+
+def test_cross_topology_streams_byte_exact(mesh, rng):
+    """The VERDICT-r2 portability criterion: a .p.bin encoded against the
+    8-device-mesh CDF program decodes BYTE-EXACTLY under a fresh
+    single-device program (and vice versa), because the integer coding path
+    (coding/iprob.py) is bit-exact across compilations — the reference gets
+    this for free by running one program (decompress.py:88-93); the float
+    CDF path documented a ±1-bin drift here."""
+    import functools
+
+    from pcc_tpu.codec import encode_clouds, init_params, skeleton_pmf_weights
+    from pcc_tpu.coding import rangecoder
+    from pcc_tpu.coding.iprob import convert_prob_params, weights_to_cdf_rows
+    from pcc_tpu.parallel import build_sharded_pmf_weights
+
+    ae_params, prob_params = init_params(jax.random.key(0), TINY)
+    bundle = convert_prob_params(prob_params, TINY.d, TINY.L)
+    clouds = rng.random((8, TINY.N, 3)).astype(np.float32)
+    starts = np.zeros(8, np.int32)
+
+    res = jax.jit(functools.partial(encode_clouds, cfg=TINY))(
+        ae_params, prob_params, jnp.asarray(clouds), jnp.asarray(starts))
+    recs = np.asarray(res.rec_xyz)
+    syms = np.asarray(res.sym).astype(np.int16)
+
+    # 8-device-mesh program (encoder side)
+    wfn_mesh = build_sharded_pmf_weights(bundle, mesh)
+    with mesh:
+        w_mesh = np.asarray(wfn_mesh(shard_batch(mesh, recs)))
+    # fresh single-device program (decoder side)
+    dev_bundle = jax.tree.map(jnp.asarray, bundle)
+    wfn_single = jax.jit(lambda r: skeleton_pmf_weights(dev_bundle, r))
+    w_single = np.asarray(wfn_single(jnp.asarray(recs)))
+    np.testing.assert_array_equal(w_mesh, w_single)
+
+    # and the streams themselves round-trip across the topology boundary
+    cdf_enc = weights_to_cdf_rows(w_mesh)
+    cdf_dec = weights_to_cdf_rows(w_single)
+    for i in range(8):
+        blob = rangecoder.encode_quantized_cdf(cdf_enc[i], syms[i])
+        back = rangecoder.decode_quantized_cdf(cdf_dec[i], blob)
+        np.testing.assert_array_equal(back.reshape(syms[i].shape), syms[i])
+
+
+def test_sharded_fused_encode_interpret(mesh, rng, monkeypatch):
+    """VERDICT r2 item 8: multi-chip compression keeps the fused Pallas
+    path. The mesh Codec runs the whole single-chip program per shard via
+    shard_map; with PCC_PALLAS_INTERPRET=1 the CPU mesh executes the exact
+    fused kernels (interpret mode) — streams must match the single-device
+    XLA path byte for byte."""
+    from pcc_tpu.codec import Codec, init_params
+
+    cfg = CodecConfig(N=256, K=32, d=4)
+    ae_params, prob_params = init_params(jax.random.key(0), cfg)
+    clouds = [(rng.random((256, 3)) * 2 - 1).astype(np.float32)
+              for _ in range(8)]
+
+    xla_codec = Codec(cfg, ae_params, prob_params, batch_size=8)
+    streams_xla = xla_codec.compress_many(clouds)
+
+    monkeypatch.setenv("PCC_PALLAS_INTERPRET", "1")
+    fused_mesh_codec = Codec(cfg, ae_params, prob_params, batch_size=8,
+                             mesh=mesh)
+    streams_fused = fused_mesh_codec.compress_many(clouds)
+    assert streams_fused == streams_xla
+
+    # and the fused mesh decoder inverts them identically to the XLA one
+    outs_fused = fused_mesh_codec.decompress_many(streams_xla)
+    monkeypatch.delenv("PCC_PALLAS_INTERPRET")
+    outs_xla = xla_codec.decompress_many(streams_xla)
+    for a, b in zip(outs_fused, outs_xla):
+        np.testing.assert_allclose(a, b, atol=2e-5)

@@ -2,6 +2,8 @@
 (ops/sa_pallas.py) under the Pallas interpreter, so CPU CI executes the
 exact kernel the TPU runs (same pattern as tests/test_fps_pallas.py)."""
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -88,6 +90,105 @@ def test_fused_module_param_tree_identical(rng):
     out_f = SetAbstraction(knn=4, fused=True).apply(v_fused, x)
     out_p = SetAbstraction(knn=4, fused=False).apply(v_plain, x)
     np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_p))
+
+
+def _xla_encoder(patches, sa_wb, pn_wb, knn):
+    """The XLA encoder math (SA + concat + PointNet + max) with explicit
+    weights — the differentiable reference for the custom-VJP tests."""
+    feats = _xla_reference(patches, sa_wb, knn)
+    x = jnp.concatenate([patches, feats], axis=-1)
+    relu = [True, True, True, False]
+    for (w, b), r in zip(pn_wb, relu):
+        x = x @ w + b
+        if r:
+            x = jax.nn.relu(x)
+    return jnp.max(x, axis=-2)
+
+
+def _random_pn_wb(rng, dims):
+    return [
+        (jnp.asarray(rng.standard_normal((dims[i], dims[i + 1]))
+                     .astype(np.float32) * 0.2),
+         jnp.asarray(rng.standard_normal(dims[i + 1]).astype(np.float32) * 0.1))
+        for i in range(len(dims) - 1)
+    ]
+
+
+def test_trainable_encoder_gradient_parity(rng):
+    """jax.grad through the custom-VJP fused encoder (backward Pallas
+    kernel, interpret mode) == jax.grad through the XLA composition, for
+    the patch input AND every weight/bias (VERDICT r2 item 2, atol 1e-4)."""
+    from pcc_tpu.ops.sa_pallas import patch_encoder_trainable
+
+    P, N, knn = 6, 32, 8
+    patches = jnp.asarray(rng.random((P, N, 3)).astype(np.float32))
+    sa_wb = _random_wb(rng)
+    pn_wb = _random_pn_wb(rng, [3 + 128, 64, 96, 128, 8])
+    g = jnp.asarray(rng.standard_normal((P, 8)).astype(np.float32))
+
+    def loss_fused(patches, sa_wb, pn_wb):
+        out = patch_encoder_trainable(patches, sa_wb, pn_wb, knn=knn,
+                                      block_p=4, block_p_bwd=2,
+                                      interpret=True)
+        return jnp.sum(out * g)
+
+    def loss_xla(patches, sa_wb, pn_wb):
+        return jnp.sum(_xla_encoder(patches, sa_wb, pn_wb, knn) * g)
+
+    out_f = patch_encoder_trainable(patches, sa_wb, pn_wb, knn=knn,
+                                    block_p=4, block_p_bwd=2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(_xla_encoder(patches, sa_wb, pn_wb, knn)),
+        atol=1e-5)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(patches, sa_wb, pn_wb)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(patches, sa_wb, pn_wb)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_trainable_encoder_gradient_parity_bf16(rng):
+    """bf16 compute: the fused backward's deviation from the f32 truth must
+    stay in the same class as the XLA bf16 path's own deviation.
+
+    Elementwise comparison against the XLA bf16 gradients is ill-posed:
+    max-pool ties are common after 8-bit-mantissa rounding and each
+    implementation may route the (valid) subgradient to a different tied
+    winner — at this test size even XLA-bf16 deviates ~20% L2 from XLA-f32.
+    So the criterion is self-calibrating: fused-bf16 error vs f32 truth
+    <= 2x XLA-bf16's error vs the same truth."""
+    from pcc_tpu.ops.sa_pallas import patch_encoder_trainable
+
+    P, N, knn = 4, 16, 4
+    patches = jnp.asarray(rng.random((P, N, 3)).astype(np.float32))
+    sa_wb = _random_wb(rng)
+    pn_wb = _random_pn_wb(rng, [3 + 128, 64, 96, 128, 8])
+
+    def loss_fused(patches, dt):
+        out = patch_encoder_trainable(patches, sa_wb, pn_wb, knn=knn,
+                                      compute_dtype=dt,
+                                      block_p=4, block_p_bwd=2,
+                                      interpret=True)
+        return jnp.sum(out)
+
+    def loss_xla_bf16(patches):
+        feats = _xla_reference(patches, sa_wb, knn,
+                               compute_dtype=jnp.bfloat16)
+        x = jnp.concatenate([patches, feats], axis=-1)
+        relu = [True, True, True, False]
+        for (w, b), r in zip(pn_wb, relu):
+            x = x.astype(jnp.bfloat16) @ w.astype(jnp.bfloat16) + b
+            if r:
+                x = jax.nn.relu(x)
+        return jnp.sum(jnp.max(x.astype(jnp.float32), axis=-2))
+
+    g_truth = np.asarray(jax.grad(
+        functools.partial(loss_fused, dt=None))(patches))
+    g_fbf = np.asarray(jax.grad(
+        functools.partial(loss_fused, dt=jnp.bfloat16))(patches))
+    g_xbf = np.asarray(jax.grad(loss_xla_bf16)(patches))
+    rl = lambda a: np.linalg.norm(a - g_truth) / np.linalg.norm(g_truth)
+    assert rl(g_fbf) <= max(2 * rl(g_xbf), 0.05), (rl(g_fbf), rl(g_xbf))
 
 
 def test_patch_encoder_fused_matches_xla(rng):

@@ -1,0 +1,126 @@
+"""torchac bitstream compatibility layer (coding/torchac_compat.py).
+
+torchac itself is not installable here (SURVEY §2.4), so the pinned
+pure-python re-implementation IS the compatibility contract (VERDICT r2
+item 9): these tests freeze it — encoder/decoder must invert each other
+bit-exactly over adversarial distributions, and a reference-style archive
+(torchac .p.bin + reference-layout .s.bin/.c.bin) must round-trip through
+`decompress --format torchac`."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcc_tpu.coding import torchac_compat as tc
+
+
+def _random_cdf(rng, n, L, concentrated=False):
+    logits = rng.standard_normal((n, L)) * (8.0 if concentrated else 1.0)
+    pmf = np.exp(logits - logits.max(-1, keepdims=True))
+    pmf = pmf / pmf.sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros((n, 1)), np.cumsum(pmf, -1)], axis=-1)
+    return np.minimum(cdf, 1.0), pmf
+
+
+@pytest.mark.parametrize("L,n,conc", [(7, 512, False), (7, 2048, True),
+                                      (33, 257, False), (2, 100, True)])
+def test_roundtrip(rng, L, n, conc):
+    cdf, pmf = _random_cdf(rng, n, L, conc)
+    syms = np.stack([rng.choice(L, p=pmf[i]) for i in range(n)]).astype(
+        np.int16)
+    blob = tc.encode_float_cdf(cdf, syms)
+    back = tc.decode_float_cdf(cdf, blob)
+    np.testing.assert_array_equal(back, syms)
+
+
+def test_rate_is_near_entropy(rng):
+    """The coder's output length approaches the source entropy — evidence
+    the interval arithmetic is right, not just invertible."""
+    cdf, pmf = _random_cdf(rng, 8192, 7, concentrated=True)
+    syms = np.stack([rng.choice(7, p=pmf[i]) for i in range(8192)]).astype(
+        np.int16)
+    blob = tc.encode_float_cdf(cdf, syms)
+    h = -np.log2(pmf[np.arange(8192), syms]).sum()
+    assert h <= len(blob) * 8 <= h * 1.05 + 64, (len(blob) * 8, h)
+
+
+def test_worst_case_symbols(rng):
+    """Lowest/highest symbols and degenerate nearly-deterministic rows."""
+    L = 7
+    pmf = np.full((64, L), 1e-6)
+    pmf[:, 3] = 1.0
+    pmf /= pmf.sum(-1, keepdims=True)
+    cdf = np.concatenate([np.zeros((64, 1)), np.cumsum(pmf, -1)], -1)
+    for fill in (0, 3, L - 1):
+        syms = np.full(64, fill, np.int16)
+        blob = tc.encode_float_cdf(cdf, syms)
+        np.testing.assert_array_equal(tc.decode_float_cdf(cdf, blob), syms)
+
+
+def test_quantize_matches_torchac_formula(rng):
+    cdf, _ = _random_cdf(rng, 4, 7)
+    q = tc.quantize_cdf_torchac(cdf)
+    Lp = 8
+    expect = np.round(cdf.astype(np.float64) * (65536 - (Lp - 1))) \
+        + np.arange(Lp)
+    np.testing.assert_array_equal(q, expect.astype(np.int64))
+    assert (np.diff(q, axis=-1) >= 1).all()
+
+
+def test_decompress_cli_reads_reference_style_archive(tmp_path, rng):
+    """Synthesize an archive exactly as the reference writes it (torchac
+    .p.bin under float CDFs from the prob model, reference-layout .s.bin,
+    float32[4] .c.bin: compress.py:131-152) and decode it with
+    `decompress --format torchac`."""
+    from pcc_tpu.cli import decompress as dec_cli
+    from pcc_tpu.codec import encode_cloud, init_params
+    from pcc_tpu.coding.octree_host import emit_octree_bits, pack_bits
+    from pcc_tpu.coding.pmf import pmf_to_cdf
+    from pcc_tpu.codec import make_models
+    from pcc_tpu.config import CodecConfig
+    from pcc_tpu.io import read_point_cloud
+    from pcc_tpu.train.checkpoint import _dump
+
+    cfg = CodecConfig(N=256, N0=64, ALPHA=2, K=32, d=4, L=7, sa_knn=8)
+    ae_params, prob_params = init_params(jax.random.key(0), cfg)
+    model_dir = tmp_path / "model"
+    os.makedirs(model_dir)
+    _dump(ae_params, str(model_dir / "ae.pkl"))
+    _dump(prob_params, str(model_dir / "prob.pkl"))
+
+    pc = (rng.random((cfg.N, 3)) * 2 - 1).astype(np.float32)
+    res = encode_cloud(ae_params, prob_params, jnp.asarray(pc),
+                       jnp.asarray(0), cfg=cfg)
+
+    # reference-style .p.bin: torchac stream under the float CDF
+    _, prob = make_models(cfg)
+    pmf = np.asarray(prob.apply(prob_params, res.rec_xyz[None])[0])
+    cdf = np.asarray(pmf_to_cdf(jnp.asarray(pmf)))
+    p_bin = tc.encode_float_cdf(cdf, np.asarray(res.sym, np.int16))
+    codes = np.asarray(res.sorted_codes, np.int64) >> (
+        3 * (cfg.max_depth - int(res.depth)))
+    s_bin = pack_bits(emit_octree_bits(codes, int(res.depth)))
+    header = np.zeros(4, np.float32)
+    header[:3] = np.asarray(res.center)
+    header[3] = float(res.longest)
+
+    comp = tmp_path / "comp"
+    os.makedirs(comp)
+    (comp / "cloud.ply.p.bin").write_bytes(p_bin)
+    (comp / "cloud.ply.s.bin").write_bytes(s_bin)
+    (comp / "cloud.ply.c.bin").write_bytes(header.tobytes())
+
+    out = tmp_path / "decomp"
+    dec_cli.main([str(comp), str(out), str(model_dir), "--format", "torchac",
+                  "--N0", "64", "--ALPHA", "2", "--K", "32", "--d", "4",
+                  "--L", "7"])
+    dec = read_point_cloud(str(out / "cloud.ply.bin.ply"))
+    assert dec.shape == (cfg.S * cfg.k, 3)
+    # must equal OUR decode of the same symbols (bit-exact symbol recovery)
+    from pcc_tpu.codec import decode_cloud
+    ref = np.asarray(decode_cloud(ae_params, res.sym, res.rec_xyz,
+                                  res.center, res.longest, cfg=cfg))
+    np.testing.assert_allclose(dec, ref, atol=1e-5)
