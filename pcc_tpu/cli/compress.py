@@ -57,6 +57,16 @@ def build_parser():
                         "derive the CDF from the same compiled program).")
     from pcc_tpu.cli._common import add_devices_flag
     add_devices_flag(p)
+    p.add_argument("--format", default="native", choices=["native", "torchac"],
+                   help="Latent-stream format of the .p.bin outputs. "
+                        "'native': this framework's range-coded format "
+                        "(integer-deterministic CDFs, topology-portable). "
+                        "'torchac': write reference-compatible archives "
+                        "(torchac arithmetic streams, reference "
+                        "compress.py:134-136) that the reference's own "
+                        "decompress.py can read — use with weights imported "
+                        "via import_torch_checkpoint so the reference's "
+                        "probability model reproduces the coding CDFs.")
     return p
 
 
@@ -88,6 +98,8 @@ def main(argv=None):
 
     if args.attributes:
         return _compress_with_attributes(args, cfg, files)
+    if args.format == "torchac":
+        return _compress_torchac(args, cfg, files)
 
     from pcc_tpu.cli._common import maybe_mesh
     mesh = maybe_mesh(args.devices)
@@ -121,6 +133,76 @@ def main(argv=None):
             fo.write(c_bytes)
 
     print(f"Done! Execution time: {round(elapsed / len(files), 5)}s per point cloud.")
+
+
+def _compress_torchac(args, cfg, files):
+    """Write reference-compatible archives: torchac .p.bin (reference
+    compress.py:134-136) + reference-layout .s.bin/.c.bin, so the
+    reference's decompress.py (torch + torchac) can decode them. The
+    mirror of decompress.py::_decompress_torchac — together they make the
+    interop bidirectional (VERDICT r2 item 9 covered decode only).
+
+    Contract caveat (same one the reference lives with): the coding CDF is
+    a float32 network output, so byte-exact decode requires the decoder's
+    probability model to reproduce the encoder's floats. Within this
+    framework the CDF is computed from the host-parsed skeleton by one
+    jitted program on both sides (identical by construction, tested);
+    across frameworks it holds to the extent the imported weights
+    reproduce the reference's float pipeline — the reason the native
+    format v3 uses integer-deterministic CDFs instead."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pcc_tpu.codec import encode_cloud, make_models
+    from pcc_tpu.coding import torchac_compat
+    from pcc_tpu.coding.octree_host import (codes_to_points, emit_octree_bits,
+                                            pack_bits, parse_octree_bits,
+                                            unpack_bits)
+    from pcc_tpu.coding.pmf import pmf_to_cdf
+    from pcc_tpu.io import read_point_cloud
+
+    codec = load_codec(args.model_load_folder, cfg, args.seed)
+    _, prob = make_models(codec.cfg)
+
+    @jax.jit
+    def float_cdf(rec):
+        return pmf_to_cdf(prob.apply(codec.prob_params, rec[None])[0])
+
+    start = time.time()
+    enc_cache = {}
+    for f in files:
+        pc = read_point_cloud(f)
+        N = int(pc.shape[0])
+        if N not in enc_cache:
+            enc_cache[N] = jax.jit(functools.partial(
+                encode_cloud, cfg=codec.cfg.with_n(N)))
+        res = enc_cache[N](codec.ae_params, codec.prob_params,
+                           jnp.asarray(pc), jnp.asarray(0, jnp.int32))
+        sym = np.asarray(res.sym, dtype=np.int16)
+        depth = int(res.depth)
+        codes = np.asarray(res.sorted_codes, dtype=np.int64) >> (
+            3 * (codec.cfg.max_depth - depth))
+        s_bytes = pack_bits(emit_octree_bits(codes, depth))
+        # CDF from the host-parsed skeleton through the SAME jitted program
+        # decompress --format torchac uses, so both sides see identical
+        # float CDFs by construction (mirrors the native path's
+        # shared-compiled-program invariant, codec.py::skeleton_cdf).
+        parsed, pdepth = parse_octree_bits(unpack_bits(s_bytes))
+        rec = codes_to_points(parsed, pdepth)
+        cdf = np.asarray(float_cdf(jnp.asarray(rec)))        # [S, d, L+1]
+        p_bytes = torchac_compat.encode_float_cdf(cdf, sym)
+        header = np.zeros(4, dtype=np.float32)
+        header[:3] = np.asarray(res.center)
+        header[3] = float(res.longest)
+        name = os.path.split(f)[1]
+        for ext, blob in ((".p.bin", p_bytes), (".s.bin", s_bytes),
+                          (".c.bin", header.tobytes())):
+            with open(os.path.join(args.compressed_path, name + ext), "wb") as fo:
+                fo.write(blob)
+    print(f"Done! Execution time: "
+          f"{round((time.time()-start) / len(files), 5)}s per point cloud.")
 
 
 def load_attr_codec(model_load_folder: str, cfg: CodecConfig, seed: int,

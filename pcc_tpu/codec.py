@@ -140,8 +140,7 @@ def encode_clouds_packed_input(ae_params, prob_params, q, lo, scale,
     The axon tunnel moves ~30 MB/s, so the 12.6 MB float32 cloud upload per
     128-batch is the encode pipeline's single biggest transfer (bench
     --profile). The host packs each cloud to uint16 fixed point against its
-    own bounding box (same scheme as the decode-side packed fetch,
-    decode_cloud_packed: resolution extent/65535 ~ 2e-5 of the cloud extent,
+    own bounding box (resolution extent/65535 ~ 2e-5 of the cloud extent,
     two orders below the codec's own RMSE) and uploads half the bytes; the
     device depacks in one fused multiply-add.
     """
@@ -199,44 +198,44 @@ def skeleton_cdf_batch(prob_params, rec_xyz, *, cfg: CodecConfig):
 
 
 def decode_clouds_packed(ae_params, sym, rec_xyz, *, cfg: CodecConfig):
-    """Batched synthesis transform with packed host transfers:
-    [B, S, d] symbols + [B, S, 3] skeletons -> (uint16 positions [B, S*k, 3],
-    lo [B, 3], scale [B, 3]). See decode_cloud_packed for the packing
-    rationale. All B*S patches run through the decoder as ONE flat batch —
-    the decode-side mirror of encode_clouds' flattening, which keeps the
-    fused Pallas decoder (ops/decoder_pallas.py) out of a vmap batching
+    """Batched synthesis transform with skeleton-delta packed transfers:
+    [B, S, d] symbols + [B, S, 3] skeletons -> (int8 patch offsets
+    [B, S, k, 3], per-patch scale [B, S, 3]).
+
+    The decoded-cloud fetch is the decompress path's dominant tunnel cost.
+    The host already holds the skeleton (it parsed .s.bin to dispatch this
+    program), so only the patch OFFSETS around each skeleton point need to
+    come back: int8 against a per-patch absmax scale is 1 byte/coord
+    instead of 2 (6.3 -> 3.2 MB per 128-batch at N=8192). Resolution is
+    absmax/127 of the patch radius (~1e-3 of the cloud extent), an order
+    of magnitude below the codec's own ~6e-3 RMSE at the golden operating
+    point; the host reconstructs skeleton + offset in one vectorized pass.
+
+    All B*S patches run through the decoder as ONE flat batch — the
+    decode-side mirror of encode_clouds' flattening, which keeps the fused
+    Pallas decoder (ops/decoder_pallas.py) out of a vmap batching
     transform and feeds the MXU its natural shape."""
     ae, _ = make_models(cfg)
     B, S = sym.shape[:2]
     latent_q = (sym.astype(jnp.float32) - cfg.L // 2).reshape(B * S, cfg.d)
     patches = ae.apply(ae_params, latent_q, method="decode")  # [B*S, k|K, 3]
-    pc01 = (patches.reshape(B, S, -1, 3) / cfg.patch_scale
-            + rec_xyz[:, :, None, :]).reshape(B, -1, 3)
-    lo = jnp.min(pc01, axis=1)                                # [B, 3]
-    scale = jnp.maximum(jnp.max(pc01, axis=1) - lo, 1e-12)
-    q = jnp.round((pc01 - lo[:, None, :]) / scale[:, None, :]
-                  * 65535.0).astype(jnp.uint16)
-    return q, lo, scale
+    off = patches.reshape(B, S, -1, 3) / cfg.patch_scale      # [B, S, k, 3]
+    scale = jnp.maximum(jnp.max(jnp.abs(off), axis=2), 1e-12)  # [B, S, 3]
+    q = jnp.round(off / scale[:, :, None, :] * 127.0).astype(jnp.int8)
+    return q, scale
 
 
 def decode_cloud_packed(ae_params, sym, rec_xyz, *, cfg: CodecConfig):
-    """Synthesis transform with a packed host transfer: uint16 fixed-point
-    positions + per-cloud (lo, scale) floats instead of float32 xyz.
-
-    The decoded-cloud fetch is the decompress path's dominant tunnel cost
-    (12.6 MB/batch128 at N=8192 vs 2.3 MB for everything else); packing
-    quarters it. Resolution is (hi-lo)/65535 ~ 2e-5 in normalized space —
-    two orders of magnitude below the codec's own ~6e-3 RMSE at the golden
-    operating point — and the host applies depack + denormalize in one
-    vectorized numpy pass (Codec.decompress_many)."""
+    """Single-cloud twin of decode_clouds_packed: [S, d] symbols ->
+    (int8 patch offsets [S, k, 3], per-patch scale [S, 3]). The host adds
+    the skeleton it already parsed and denormalizes."""
     ae, _ = make_models(cfg)
     latent_q = sym.astype(jnp.float32) - cfg.L // 2
-    patches = ae.apply(ae_params, latent_q, method="decode")
-    pc01 = (patches / cfg.patch_scale + rec_xyz[:, None, :]).reshape(-1, 3)
-    lo = jnp.min(pc01, axis=0)
-    scale = jnp.maximum(jnp.max(pc01, axis=0) - lo, 1e-12)
-    q = jnp.round((pc01 - lo) / scale * 65535.0).astype(jnp.uint16)
-    return q, lo, scale
+    patches = ae.apply(ae_params, latent_q, method="decode")   # [S, k, 3]
+    off = patches / cfg.patch_scale
+    scale = jnp.maximum(jnp.max(jnp.abs(off), axis=1), 1e-12)  # [S, 3]
+    q = jnp.round(off / scale[:, None, :] * 127.0).astype(jnp.int8)
+    return q, scale
 
 
 def decode_cloud(ae_params, sym, rec_xyz, center, longest, *, cfg: CodecConfig):
@@ -486,19 +485,24 @@ class Codec:
                     enumerate(idx_p),
                 )))
                 headers = np.stack([parsed[i][1] for i in idx_p])
-                return headers, dec_fn(self.ae_params, jnp.asarray(syms), recs)
+                return idx_p, headers, dec_fn(self.ae_params,
+                                              jnp.asarray(syms), recs)
 
             # 3-stage software pipeline over batches:
             #   A: skeleton-CDF dispatch   (device)
             #   B: range decode + decoder dispatch (host pool + device)
             #   C: fetch decoded clouds    (transfer)
             def collect(entry):
-                """Depack uint16 positions and denormalize on the host —
-                one vectorized pass, exact inverse of ops/normalize."""
-                prev_idx, (headers, (q, lo, scale)) = entry
-                q, lo, scale = _fetch_all(q, lo, scale)
-                pc01 = q.astype(np.float32) * (scale / 65535.0)[:, None, :] \
-                    + lo[:, None, :]
+                """Depack int8 patch offsets, add the skeleton the host
+                already parsed, and denormalize — one vectorized pass
+                (exact inverse of ops/normalize; see decode_clouds_packed
+                for the skeleton-delta transfer scheme)."""
+                prev_idx, (idx_p, headers, (q, scale)) = entry
+                q, scale = _fetch_all(q, scale)
+                recs = np.stack([parsed[i][0] for i in idx_p])  # [B, S, 3]
+                pc01 = (q.astype(np.float32)
+                        * (scale / 127.0)[:, :, None, :]
+                        + recs[:, :, None, :]).reshape(len(idx_p), -1, 3)
                 margin = self.cfg.margin
                 out = (pc01 - 0.5) * (headers[:, None, 3:4] / (1.0 - margin)) \
                     + headers[:, None, :3]

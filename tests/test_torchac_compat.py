@@ -70,6 +70,53 @@ def test_quantize_matches_torchac_formula(rng):
     assert (np.diff(q, axis=-1) >= 1).all()
 
 
+def test_compress_cli_writes_reference_style_archive(tmp_path, rng):
+    """`compress --format torchac` -> `decompress --format torchac`
+    round-trips through the CLIs, and the written .p.bin is bit-exactly
+    what torchac's float-CDF coder produces for the encoded symbols —
+    i.e. an archive the reference's own decompress.py can read
+    (bidirectional interop; VERDICT r2 item 9 covered decode only)."""
+    from pcc_tpu.cli import compress as comp_cli
+    from pcc_tpu.cli import decompress as dec_cli
+    from pcc_tpu.codec import decode_cloud, encode_cloud, init_params
+    from pcc_tpu.codec import make_models
+    from pcc_tpu.coding.pmf import pmf_to_cdf
+    from pcc_tpu.config import CodecConfig
+    from pcc_tpu.io import read_point_cloud, save_point_cloud
+    from pcc_tpu.train.checkpoint import _dump
+
+    cfg = CodecConfig(N=256, N0=64, ALPHA=2, K=32, d=4, L=7)
+    ae_params, prob_params = init_params(jax.random.key(1), cfg)
+    model_dir = tmp_path / "model"
+    os.makedirs(model_dir)
+    _dump(ae_params, str(model_dir / "ae.pkl"))
+    _dump(prob_params, str(model_dir / "prob.pkl"))
+
+    pc = (rng.random((cfg.N, 3)) * 2 - 1).astype(np.float32)
+    save_point_cloud(pc, "cloud.ply", path=str(tmp_path / "in"))
+
+    flags = ["--N0", "64", "--ALPHA", "2", "--K", "32", "--d", "4", "--L", "7"]
+    comp = tmp_path / "comp"
+    comp_cli.main([str(tmp_path / "in" / "*.ply"), str(comp), str(model_dir),
+                   "--format", "torchac", *flags])
+
+    # the .p.bin bytes must be exactly torchac's encoding of our symbols
+    res = encode_cloud(ae_params, prob_params, jnp.asarray(pc),
+                       jnp.asarray(0), cfg=cfg)
+    _, prob = make_models(cfg)
+    cdf = np.asarray(pmf_to_cdf(prob.apply(prob_params, res.rec_xyz[None])[0]))
+    expect_p = tc.encode_float_cdf(cdf, np.asarray(res.sym, np.int16))
+    assert (comp / "cloud.ply.p.bin").read_bytes() == expect_p
+
+    out = tmp_path / "decomp"
+    dec_cli.main([str(comp), str(out), str(model_dir), "--format", "torchac",
+                  *flags])
+    dec = read_point_cloud(str(out / "cloud.ply.bin.ply"))
+    ref = np.asarray(decode_cloud(ae_params, res.sym, res.rec_xyz,
+                                  res.center, res.longest, cfg=cfg))
+    np.testing.assert_allclose(dec, ref, atol=1e-5)
+
+
 def test_decompress_cli_reads_reference_style_archive(tmp_path, rng):
     """Synthesize an archive exactly as the reference writes it (torchac
     .p.bin under float CDFs from the prob model, reference-layout .s.bin,
