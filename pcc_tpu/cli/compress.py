@@ -42,8 +42,11 @@ def build_parser():
                         "(compress.py:112-122 drives IPDAE submodules); here "
                         "both families share the binary pipeline.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
-    p.add_argument("--batch_size", type=int, default=64,
-                   help="Clouds per device dispatch.")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="Clouds per device dispatch. Default 64 (IPDAE); 16 "
+                        "for PPPF-AE, whose PN++ ball-query grouping "
+                        "materializes ~1 GB of activations per cloud and "
+                        "exceeds HBM at 64.")
     p.add_argument("--profile_dir", default=None,
                    help="Write a jax.profiler trace of the compress run here.")
     p.add_argument("--d_a", type=int, default=16,
@@ -91,6 +94,8 @@ def main(argv=None):
                       compute_dtype="bfloat16" if args.bf16 else "float32",
                       model=args.model)
     os.makedirs(args.compressed_path, exist_ok=True)
+    if args.batch_size is None:
+        args.batch_size = 16 if args.model == "PPPF-AE" else 64
 
     files = sorted(glob(args.input_glob, recursive=True))
     if not files:

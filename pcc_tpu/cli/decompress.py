@@ -37,8 +37,9 @@ def build_parser():
                    help="Type of the model (AE or PPPF-AE); must match the "
                         "compress-side setting.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
-    p.add_argument("--batch_size", type=int, default=64,
-                   help="Clouds per device dispatch.")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="Clouds per device dispatch. Default 64 (IPDAE); 16 "
+                        "for PPPF-AE (see compress --help).")
     p.add_argument("--profile_dir", default=None,
                    help="Write a jax.profiler trace of the decompress run here.")
     p.add_argument("--d_a", type=int, default=16,
@@ -122,6 +123,8 @@ def main(argv=None):
                       compute_dtype="bfloat16" if args.bf16 else "float32",
                       model=args.model)
     os.makedirs(args.decompressed_path, exist_ok=True)
+    if args.batch_size is None:
+        args.batch_size = 16 if args.model == "PPPF-AE" else 64
 
     files = sorted(glob(os.path.join(args.compressed_path, "*.s.bin")))
     if not files:
