@@ -108,8 +108,13 @@ def test_pppf_golden_stats():
     binary-compress its own PPPF checkpoints."""
     df = _load("SyntheticSurfaces_PPPF_K256.csv")
     assert len(df) == 32
-    assert df["p2pointPSNR"].mean() == pytest.approx(35.80, abs=0.05)
-    assert df["bpp"].mean() == pytest.approx(0.596, abs=0.005)
+    assert df["p2pointPSNR"].mean() == pytest.approx(41.09, abs=0.05)
+    assert df["bpp"].mean() == pytest.approx(0.576, abs=0.005)
+    # compare.py "High" tier — the bar the IPDAE goldens are held to
+    # (r2 VERDICT item 5: the 20k-step recipe landed at 35.8 dB; the
+    # 30k + λ-relaxed fine-tune recipe in GOLDEN.md clears the tier)
+    assert df["p2pointPSNR"].mean() >= 38.0
+    assert df["chamfer_distance"].mean() <= 8e-4
     # FoldingNet emits grid^2 = K points per patch (PPPF_AE.py:118-123), so
     # n_out = S*K = 2N at the default config
     assert (df["n_points_output"] == 2 * df["n_points_input"]).all()
