@@ -32,7 +32,11 @@ CACHE = os.path.join(REPO, ".bench_baseline.json")
 # (5.8 vs 3.8 ms: fewer batches in flight means less host/device overlap),
 # so 128 stays.
 BATCH = int(os.environ.get("PCC_BENCH_BATCH", "128"))
-N_CLOUDS_TPU = int(os.environ.get("PCC_BENCH_CLOUDS", "256"))
+# 512 clouds = 4 pipelined batches: with 2 batches the un-overlapped first
+# batch (its upload + compile-warm caches aside, ~0.8 s vs the ~0.33 s
+# steady-state batch) was half the measurement; 4 batches measure the
+# steady state the codec actually sustains on real workloads
+N_CLOUDS_TPU = int(os.environ.get("PCC_BENCH_CLOUDS", "512"))
 N_CLOUDS_BASE = 4
 
 
@@ -605,7 +609,16 @@ def main():
         return
     value = bench_tpu()
     try:
-        bench_train_step()
+        # fresh interpreter: running the train bench after the codec bench
+        # in one process measures ~20x slow (allocator/tunnel state from
+        # the 512-cloud codec phase poisons the step timing — observed
+        # 1.1M vs 50.8M pts/s for identical code)
+        out = subprocess.run([sys.executable, __file__, "--train"],
+                             capture_output=True, text=True, cwd=REPO,
+                             timeout=1800)
+        for line in out.stderr.splitlines():
+            if line.startswith("{"):
+                _log(line)
     except Exception as e:
         _log(f"train-step bench failed: {type(e).__name__}: {e}")
     baseline = get_baseline()

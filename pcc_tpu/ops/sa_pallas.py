@@ -42,7 +42,10 @@ def _sa_kernel(pts_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
         preferred_element_type=jnp.float32)              # [BP, N, N]
     d2 = jnp.maximum(sq[:, :, None] - 2.0 * cross + sq[:, None, :], 0.0)
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BP, N, N), 2)
+    # broadcastable [1, 1, N] row, not a materialized [BP, N, N] cube — the
+    # onehot compare broadcasts it, saving ~BP*N*N*4 bytes of VMEM (the
+    # same layout the backward kernel uses)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
 
     def load(ref):
         w = ref[...]
@@ -136,7 +139,7 @@ def _encoder_kernel(pts_ref, sw1, sb1, sw2, sb2, sw3, sb3,
         pts, pts, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
     d2 = jnp.maximum(sq[:, :, None] - 2.0 * cross + sq[:, None, :], 0.0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (BP, N, N), 2)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
 
     def load(ref):
         w = ref[...]
