@@ -219,8 +219,14 @@ def bench_full_secondaries():
 
         @jax.jit
         def roundtrip(batch):
-            lat = model.apply(variables, batch, method=model.encode)
-            return model.apply(variables, lat, method=model.decode)
+            # submodule dispatch via method-lambdas, exactly like the
+            # pppe_pcd_compress/decompress CLIs (PointCloudAE defines no
+            # encode/decode wrappers; encoder returns (latent, cond_feats))
+            lat, _ = model.apply(
+                variables, batch,
+                method=lambda m, pc, train=False: m.encoder(pc, train))
+            return model.apply(
+                variables, lat, method=lambda m, z: m.decoder(z))
 
         out = roundtrip(batch)
         jax.block_until_ready(out)
