@@ -418,13 +418,14 @@ def profile_breakdown():
     cdf_fn, dec_fn = codec._decode_fns(cfg.S)
 
     def run_enc():
+        # integer cdf_mode (the default): single-buffer program with the
+        # coding weights inside (codec.encode_clouds_packed_io)
         return enc(codec.ae_params, codec.prob_params, q_d, lo_d, sc_d,
                    starts)
 
     # warmup/compile
-    res = run_enc()
-    cdf = cdf_fn(codec.prob_params, res.rec_xyz)
-    jax.block_until_ready((res, cdf))
+    buf = run_enc()
+    jax.block_until_ready(buf)
 
     def timed(label, fn, reps=5):
         # block_until_ready is a no-op over the remote axon tunnel (device
@@ -448,9 +449,18 @@ def profile_breakdown():
               f"({dt*1e3/BATCH:.3f} ms/cloud), incl. 1-elem fetch")
         return out, dt
 
-    res, t_enc = timed("device encode program", run_enc)
-    cdf, t_cdf = timed("device cdf program",
-                       lambda: cdf_fn(codec.prob_params, res.rec_xyz))
+    buf, t_enc = timed("device encode program (packed single-buffer)",
+                       run_enc)
+    from pcc_tpu.codec import unpack_encode_buffer
+    from pcc_tpu.coding.octree_host import codes_to_points as _c2p
+    (syms, w, depths, codes,
+     centers, longests) = unpack_encode_buffer(np.asarray(buf), cfg=cfg)
+    recs_d = jnp.asarray(np.stack([
+        _c2p(codes[j].astype(np.int64)
+             >> (3 * (cfg.max_depth - int(depths[j]))), int(depths[j]))
+        for j in range(BATCH)]))
+    _, t_cdf = timed("device cdf program (decode side)",
+                     lambda: cdf_fn(codec.prob_params, recs_d))
 
     # stage-level split of the encode program (each stage jitted separately;
     # the fused program overlaps them, so stages can sum to more than the
@@ -520,11 +530,9 @@ def profile_breakdown():
     one = jnp.zeros((1,), jnp.float32)
     _, t_rt = timed("device round trip (1 scalar)", lambda: one + 1, reps=20)
 
-    syms, cdfs, depths, codes = _fetch_all(res.sym, cdf, res.depth,
-                                           res.sorted_codes)
     syms = syms.astype(np.int16)
     t0 = time.perf_counter()
-    cdfs = codec._cdf_host(cdfs)   # integer staircase from uint16 weights
+    cdfs = codec._cdf_host(w)      # integer staircase from uint16 weights
     _log(f"host cdf staircase: {(time.perf_counter()-t0)*1e3:.1f} "
          f"ms/batch{BATCH}")
     codes = codes.astype(np.int64)
@@ -572,7 +580,7 @@ def profile_breakdown():
     cdfs_np = codec._cdf_host(np.asarray(cdf_fn(codec.prob_params, recs)))
     t0 = time.perf_counter()
     syms = [rangecoder.decode_quantized_cdf(cdfs_np[j], streams[j][0])
-            .astype(np.int16) for j in range(BATCH)]
+            .astype(np.int8) for j in range(BATCH)]
     t_rd = time.perf_counter() - t0
     print(f"host range decoder (serial): {t_rd*1e3:.1f} ms/batch{BATCH} "
           f"({t_rd*1e3/BATCH:.3f} ms/cloud); threaded in the codec")
@@ -584,10 +592,10 @@ def profile_breakdown():
                      lambda: dec_fn(codec.ae_params, syms_dev, recs))
 
     t0 = time.perf_counter()
-    _fetch_all(*dec_out)
+    _fetch_all(dec_out)
     t_fetch = time.perf_counter() - t0
-    print(f"decoded-cloud fetch (packed uint16): {t_fetch*1e3:.1f} "
-          f"ms/batch{BATCH}")
+    print(f"decoded-cloud fetch (single packed int8 buffer): "
+          f"{t_fetch*1e3:.1f} ms/batch{BATCH}")
 
     t0 = time.perf_counter()
     codec.decompress_many(streams)

@@ -188,6 +188,87 @@ def skeleton_pmf_weights(iprob_bundle, rec_xyz):
     return iprob_pmf_weights(iprob_bundle, rec_xyz).astype(jnp.uint16)
 
 
+def _u8(x):
+    """Bitcast any array to uint8 bytes, flattened per leading row:
+    [B, ...] -> [B, nbytes]. Little-endian on both TPU and x86, so the
+    host reinterprets with plain numpy views."""
+    if x.dtype != jnp.uint8:
+        x = jax.lax.bitcast_convert_type(x, jnp.uint8)
+    return x.reshape(x.shape[0], -1)
+
+
+def encode_buffer_layout(cfg: CodecConfig):
+    """Byte offsets of the packed per-cloud encode row (all 4-aligned):
+    codes i32[S] | depth i32 | center f32[3] | longest f32 |
+    weights u16[S,d,L] | sym i8[S,d]."""
+    S, d, L = cfg.S, cfg.d, cfg.L
+    o_codes, o_depth = 0, 4 * S
+    o_center, o_longest = o_depth + 4, o_depth + 16
+    o_w = o_depth + 20
+    o_sym = o_w + 2 * S * d * L
+    return {"codes": o_codes, "depth": o_depth, "center": o_center,
+            "longest": o_longest, "weights": o_w, "sym": o_sym,
+            "total": o_sym + S * d}
+
+
+def encode_clouds_packed_io(ae_params, prob_params, q, lo, scale,
+                            fps_starts, *, iprob_bundle, cfg: CodecConfig):
+    """Integer-cdf encode with ALL outputs packed into one [B, PB] uint8
+    buffer (layout: encode_buffer_layout).
+
+    Why one buffer: each device->host array fetch over the axon tunnel pays
+    its own ~30 ms round trip, and concurrent async fetches of several
+    arrays occasionally stall for seconds (measured: 6 arrays of 2 MB total
+    170-520 ms and worse, one packed 2 MB buffer a steady ~120 ms). The
+    coding weights come from the deterministic integer path (coding/iprob),
+    so folding them into the encode program cannot desync encoder/decoder
+    CDFs — bit-equality across programs holds by construction."""
+    res = encode_clouds_packed_input(ae_params, prob_params, q, lo, scale,
+                                     fps_starts, cfg=cfg)
+    w = skeleton_pmf_weights(iprob_bundle, res.rec_xyz)      # [B,S,d,L] u16
+    return jnp.concatenate([
+        _u8(res.sorted_codes), _u8(res.depth[:, None]),
+        _u8(res.center), _u8(res.longest[:, None]),
+        _u8(w), _u8(res.sym),
+    ], axis=1)
+
+
+def unpack_encode_buffer(buf: np.ndarray, *, cfg: CodecConfig):
+    """Host inverse of encode_clouds_packed_io: [B, PB] uint8 ->
+    (syms int8 [B,S,d], weights u16 [B,S,d,L], depths i32 [B],
+    codes i32 [B,S], centers f32 [B,3], longests f32 [B]) — numpy views,
+    no copies (row slices keep the last axis contiguous)."""
+    o = encode_buffer_layout(cfg)
+    if not buf.flags["C_CONTIGUOUS"]:
+        buf = np.ascontiguousarray(buf)   # axon fetches come back strided
+    B = buf.shape[0]
+    S, d, L = cfg.S, cfg.d, cfg.L
+    codes = buf[:, o["codes"]:o["depth"]].view(np.int32)
+    depth = buf[:, o["depth"]:o["center"]].view(np.int32)[:, 0]
+    center = buf[:, o["center"]:o["longest"]].view(np.float32)
+    longest = buf[:, o["longest"]:o["weights"]].view(np.float32)[:, 0]
+    w = buf[:, o["weights"]:o["sym"]].view(np.uint16).reshape(B, S, d, L)
+    sym = buf[:, o["sym"]:].view(np.int8).reshape(B, S, d)
+    return sym, w, depth, codes, center, longest
+
+
+def decode_clouds_packed_io(ae_params, sym, rec_xyz, *, cfg: CodecConfig):
+    """decode_clouds_packed with both outputs in one [B, 12S + 3Sk] uint8
+    buffer (scale f32 [S,3] first, then q int8 [S,k,3]) — single fetch."""
+    q, scale = decode_clouds_packed(ae_params, sym, rec_xyz, cfg=cfg)
+    return jnp.concatenate([_u8(scale), _u8(q)], axis=1)
+
+
+def unpack_decode_buffer(buf: np.ndarray, S: int):
+    """[B, 12S + 3Sk] uint8 -> (q int8 [B,S,k,3], scale f32 [B,S,3])."""
+    if not buf.flags["C_CONTIGUOUS"]:
+        buf = np.ascontiguousarray(buf)   # axon fetches come back strided
+    B = buf.shape[0]
+    scale = buf[:, :12 * S].view(np.float32).reshape(B, S, 3)
+    q = buf[:, 12 * S:].view(np.int8).reshape(B, S, -1, 3)
+    return q, scale
+
+
 def skeleton_cdf_batch(prob_params, rec_xyz, *, cfg: CodecConfig):
     """Batched skeleton CDF [B, S, 3] -> [B, S, d, L+1]. Used for models
     whose probability backbone itself contains FPS/ball-query stages (PPPF):
@@ -320,10 +401,19 @@ class Codec:
                              out_specs=P("data"), check_vma=False)
 
     def _encode_fn(self, N: int):
-        """Batched encode jit (packed uint16 upload), cached per cloud size."""
+        """Batched encode jit (packed uint16 upload), cached per cloud size.
+
+        Integer cdf_mode returns the single-buffer program
+        (encode_clouds_packed_io): one fetch per batch instead of six."""
         if N not in self._encode_cache:
             cfg = self.cfg.with_n(N)
-            fn = functools.partial(encode_clouds_packed_input, cfg=cfg)
+            if self._integer_cdf:
+                # the bundle rides as a closed-over constant (replicated
+                # under shard_map); its "d"/"L" entries are static ints
+                fn = functools.partial(encode_clouds_packed_io, cfg=cfg,
+                                       iprob_bundle=self._iprob)
+            else:
+                fn = functools.partial(encode_clouds_packed_input, cfg=cfg)
             if self.mesh is not None:
                 fn = self._shard_map(fn, n_in_sharded=4, n_in_repl=2)
             self._encode_cache[N] = jax.jit(fn)
@@ -344,7 +434,7 @@ class Codec:
             else:
                 cdf_raw = jax.vmap(functools.partial(skeleton_cdf, cfg=cfg),
                                    in_axes=(None, 0))
-            dec_raw = functools.partial(decode_clouds_packed, cfg=cfg)
+            dec_raw = functools.partial(decode_clouds_packed_io, cfg=cfg)
             if self.mesh is not None:
                 cdf_raw = self._shard_map(cdf_raw, n_in_sharded=1,
                                           n_in_repl=1)
@@ -377,11 +467,16 @@ class Codec:
         for N, idxs in by_n.items():
             enc = self._encode_fn(N)
             cfg = self.cfg.with_n(N)
-            # the coding CDF comes from the SAME compiled program decompress
+            # Integer cdf_mode: the coding weights ride inside the encode
+            # program's packed output buffer (bit-equal to the decoder's by
+            # the integer-determinism guarantee, coding/iprob.py). Float
+            # mode: the CDF comes from the SAME compiled program decompress
             # uses (skeleton_cdf over rec_xyz), so encoder and decoder CDFs
             # are bit-identical by construction rather than by hoping two
             # separately-fused XLA compilations agree at float32.
-            cdf_fn, _ = self._decode_fns(cfg.S)
+            cdf_fn = None
+            if not self._integer_cdf:
+                cdf_fn, _ = self._decode_fns(cfg.S)
             batches = [
                 idxs[lo : lo + self.batch_size]
                 for lo in range(0, len(idxs), self.batch_size)
@@ -401,9 +496,11 @@ class Codec:
 
             def dispatch(packed):
                 q, lo, scale, starts = packed.result()
-                res = enc(self.ae_params, self.prob_params,
-                          jnp.asarray(q), jnp.asarray(lo), jnp.asarray(scale),
-                          jnp.asarray(starts))
+                args = (jnp.asarray(q), jnp.asarray(lo), jnp.asarray(scale),
+                        jnp.asarray(starts))
+                if self._integer_cdf:
+                    return enc(self.ae_params, self.prob_params, *args)
+                res = enc(self.ae_params, self.prob_params, *args)
                 return res, cdf_fn(self.prob_params, res.rec_xyz)
 
             def serialize_one(i, cdf, sym, depth, codes64, center, longest):
@@ -428,16 +525,24 @@ class Codec:
                 packed_next = self._pool.submit(pack, batches[1])
             pending = dispatch(packed)
             for b, batch_idx in enumerate(batches):
-                res, cdfs_dev = pending
+                out = pending
                 if b + 1 < len(batches):
                     pending = dispatch(packed_next)     # overlap device work
                     if b + 2 < len(batches):
                         packed_next = self._pool.submit(pack, batches[b + 2])
-                syms, cdfs, depths, all_codes, centers, longests = _fetch_all(
-                    res.sym, cdfs_dev, res.depth, res.sorted_codes,
-                    res.center, res.longest)
+                if self._integer_cdf:
+                    (buf,) = _fetch_all(out)            # ONE tunnel fetch
+                    (syms, w, depths, all_codes,
+                     centers, longests) = unpack_encode_buffer(buf, cfg=cfg)
+                    cdfs = self._cdf_host(w)
+                else:
+                    res, cdfs_dev = out
+                    (syms, cdfs, depths, all_codes, centers,
+                     longests) = _fetch_all(
+                        res.sym, cdfs_dev, res.depth, res.sorted_codes,
+                        res.center, res.longest)
+                    cdfs = self._cdf_host(cdfs)
                 syms = syms.astype(np.int16)
-                cdfs = self._cdf_host(cdfs)
                 all_codes = all_codes.astype(np.int64)
                 futures = [
                     self._pool.submit(
@@ -490,9 +595,11 @@ class Codec:
                 idx_p, recs, cdfs_dev = stage
                 (cdfs,) = _fetch_all(cdfs_dev)
                 cdfs = self._cdf_host(cdfs)
+                # int8 upload: sym < L <= 128 (config.py bound), half the
+                # tunnel bytes of int16
                 syms = np.stack(list(self._pool.map(
                     lambda ji: rangecoder.decode_quantized_cdf(
-                        cdfs[ji[0]], streams[ji[1]][0]).astype(np.int16),
+                        cdfs[ji[0]], streams[ji[1]][0]).astype(np.int8),
                     enumerate(idx_p),
                 )))
                 headers = np.stack([parsed[i][1] for i in idx_p])
@@ -508,8 +615,9 @@ class Codec:
                 already parsed, and denormalize — one vectorized pass
                 (exact inverse of ops/normalize; see decode_clouds_packed
                 for the skeleton-delta transfer scheme)."""
-                prev_idx, (idx_p, headers, (q, scale)) = entry
-                q, scale = _fetch_all(q, scale)
+                prev_idx, (idx_p, headers, out_buf) = entry
+                (buf,) = _fetch_all(out_buf)            # ONE tunnel fetch
+                q, scale = unpack_decode_buffer(buf, S)
                 recs = np.stack([parsed[i][0] for i in idx_p])  # [B, S, 3]
                 pc01 = (q.astype(np.float32)
                         * (scale / 127.0)[:, :, None, :]

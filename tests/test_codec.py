@@ -113,3 +113,62 @@ def test_pppf_latent_stream_exact(rng, pppf_codec):
         assert out.shape == (CFG_PPPF.S * CFG_PPPF.d ** 2, 3)
     # determinism across calls (BN runs in inference mode on both sides)
     assert pppf_codec.compress(pc) == streams[0]
+
+
+def test_packed_io_buffer_roundtrip(rng):
+    """encode_clouds_packed_io's single uint8 buffer (one tunnel fetch per
+    batch — see the codec docstring for the measured multi-fetch stalls)
+    unpacks to exactly the fields of the unpacked EncodeResult + integer
+    weights, and decode_clouds_packed_io to decode_clouds_packed's pair."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from pcc_tpu.codec import (decode_clouds_packed, decode_clouds_packed_io,
+                               encode_clouds, encode_clouds_packed_io,
+                               init_params, skeleton_pmf_weights,
+                               unpack_decode_buffer, unpack_encode_buffer)
+    from pcc_tpu.coding.iprob import convert_prob_params
+
+    ae_params, prob_params = init_params(jax.random.key(3), CFG)
+    bundle = jax.tree.map(jnp.asarray,
+                          convert_prob_params(prob_params, CFG.d, CFG.L))
+    B = 3
+    pcs = np.stack([_cloud(rng) for _ in range(B)])
+    starts = jnp.zeros((B,), jnp.int32)
+
+    res = encode_clouds(ae_params, prob_params, jnp.asarray(pcs), starts,
+                        cfg=CFG)
+    w_ref = np.asarray(skeleton_pmf_weights(bundle, res.rec_xyz))
+
+    # packed program over the identity u16 packing (scale spans [0,1]+)
+    lo = pcs.min(axis=1)
+    scale = np.maximum(pcs.max(axis=1) - lo, 1e-12).astype(np.float32)
+    q = np.rint((pcs - lo[:, None, :]) * (65535.0 / scale)[:, None, :])
+    # encode_clouds sees f32 pcs; packed sees the u16 depack — feed the
+    # DEPACKED f32 through encode_clouds so both paths get identical input
+    depacked = q.astype(np.float32) * (scale / 65535.0)[:, None, :] \
+        + lo[:, None, :]
+    res = encode_clouds(ae_params, prob_params, jnp.asarray(depacked),
+                        starts, cfg=CFG)
+    w_ref = np.asarray(skeleton_pmf_weights(bundle, res.rec_xyz))
+
+    buf = np.asarray(encode_clouds_packed_io(
+        ae_params, prob_params, jnp.asarray(q.astype(np.uint16)),
+        jnp.asarray(lo.astype(np.float32)), jnp.asarray(scale),
+        starts, iprob_bundle=bundle, cfg=CFG))
+    sym, w, depth, codes, center, longest = unpack_encode_buffer(buf, cfg=CFG)
+    np.testing.assert_array_equal(sym, np.asarray(res.sym))
+    np.testing.assert_array_equal(w, w_ref)
+    np.testing.assert_array_equal(depth, np.asarray(res.depth))
+    np.testing.assert_array_equal(codes, np.asarray(res.sorted_codes))
+    np.testing.assert_array_equal(center, np.asarray(res.center))
+    np.testing.assert_array_equal(longest, np.asarray(res.longest))
+
+    dq, dscale = decode_clouds_packed(ae_params, res.sym, res.rec_xyz,
+                                      cfg=CFG)
+    dbuf = np.asarray(decode_clouds_packed_io(ae_params, res.sym,
+                                              res.rec_xyz, cfg=CFG))
+    q2, scale2 = unpack_decode_buffer(dbuf, CFG.S)
+    np.testing.assert_array_equal(q2, np.asarray(dq))
+    np.testing.assert_array_equal(scale2, np.asarray(dscale))
