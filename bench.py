@@ -464,10 +464,11 @@ def profile_breakdown():
 
     buf, t_enc = timed("device encode program (packed single-buffer)",
                        run_enc)
-    from pcc_tpu.codec import unpack_encode_buffer
+    from pcc_tpu.codec import unpack_encode_bounds_buffer
     from pcc_tpu.coding.octree_host import codes_to_points as _c2p
-    (syms, w, depths, codes,
-     centers, longests) = unpack_encode_buffer(np.asarray(buf), cfg=cfg)
+    (starts, sizes, depths, codes,
+     centers, longests) = unpack_encode_bounds_buffer(np.asarray(buf),
+                                                      cfg=cfg)
     recs_d = jnp.asarray(np.stack([
         _c2p(codes[j].astype(np.int64)
              >> (3 * (cfg.max_depth - int(depths[j]))), int(depths[j]))
@@ -543,19 +544,15 @@ def profile_breakdown():
     one = jnp.zeros((1,), jnp.float32)
     _, t_rt = timed("device round trip (1 scalar)", lambda: one + 1, reps=20)
 
-    syms = syms.astype(np.int16)
-    t0 = time.perf_counter()
-    cdfs = codec._cdf_host(w)      # integer staircase from uint16 weights
-    _log(f"host cdf staircase: {(time.perf_counter()-t0)*1e3:.1f} "
-         f"ms/batch{BATCH}")
     codes = codes.astype(np.int64)
 
     t0 = time.perf_counter()
     for j in range(BATCH):
-        rangecoder.encode_quantized_cdf(cdfs[j], syms[j])
+        rangecoder.encode_bounds(starts[j], sizes[j], (1 << 16) - 1)
     t_rc = time.perf_counter() - t0
-    print(f"host range coder (serial): {t_rc*1e3:.1f} ms/batch{BATCH} "
-          f"({t_rc*1e3/BATCH:.3f} ms/cloud); threaded in the codec")
+    print(f"host range coder (serial, interval path): {t_rc*1e3:.1f} "
+          f"ms/batch{BATCH} ({t_rc*1e3/BATCH:.3f} ms/cloud); threaded in "
+          "the codec")
 
     t0 = time.perf_counter()
     for j in range(BATCH):
@@ -590,7 +587,11 @@ def profile_breakdown():
     print(f"host skeleton parse (serial): {t_parse*1e3:.1f} ms/batch{BATCH}")
 
     recs = jnp.asarray(np.stack(parsed))
-    cdfs_np = codec._cdf_host(np.asarray(cdf_fn(codec.prob_params, recs)))
+    w_dec = np.asarray(cdf_fn(codec.prob_params, recs))
+    t0 = time.perf_counter()
+    cdfs_np = codec._cdf_host(w_dec)   # staircase now decode-side only
+    print(f"host cdf staircase (decode side): "
+          f"{(time.perf_counter()-t0)*1e3:.1f} ms/batch{BATCH}")
     t0 = time.perf_counter()
     syms = [rangecoder.decode_quantized_cdf(cdfs_np[j], streams[j][0])
             .astype(np.int8) for j in range(BATCH)]

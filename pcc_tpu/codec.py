@@ -211,6 +211,60 @@ def encode_buffer_layout(cfg: CodecConfig):
             "total": o_sym + S * d}
 
 
+def encode_bounds_layout(cfg: CodecConfig):
+    """Byte offsets of the bounds-packed encode row (all 4-aligned):
+    codes i32[S] | depth i32 | center f32[3] | longest f32 |
+    start u16[S,d] | size u16[S,d]. 4.3 KB/cloud at the default config vs
+    the weights layout's 15.6 KB — the encode fetch carries only each
+    symbol's own coding interval (iprob.iprob_encode_bounds)."""
+    S, d = cfg.S, cfg.d
+    o_codes, o_depth = 0, 4 * S
+    o_center, o_longest = o_depth + 4, o_depth + 16
+    o_start = o_depth + 20
+    o_size = o_start + 2 * S * d
+    return {"codes": o_codes, "depth": o_depth, "center": o_center,
+            "longest": o_longest, "start": o_start, "size": o_size,
+            "total": o_size + 2 * S * d}
+
+
+def encode_clouds_packed_bounds(ae_params, prob_params, q, lo, scale,
+                                fps_starts, *, iprob_bundle,
+                                cfg: CodecConfig):
+    """Integer-cdf encode emitting per-symbol coding INTERVALS instead of
+    PMF weight rows (layout: encode_bounds_layout). Same single-buffer
+    single-fetch contract as encode_clouds_packed_io; the range coder's
+    byte output is unchanged (the intervals equal the host staircase's
+    entries bit-for-bit, tests/test_iprob.py)."""
+    from pcc_tpu.coding.iprob import iprob_encode_bounds
+
+    res = encode_clouds_packed_input(ae_params, prob_params, q, lo, scale,
+                                     fps_starts, cfg=cfg)
+    start, size = iprob_encode_bounds(iprob_bundle, res.rec_xyz, res.sym)
+    return jnp.concatenate([
+        _u8(res.sorted_codes), _u8(res.depth[:, None]),
+        _u8(res.center), _u8(res.longest[:, None]),
+        _u8(start), _u8(size),
+    ], axis=1)
+
+
+def unpack_encode_bounds_buffer(buf: np.ndarray, *, cfg: CodecConfig):
+    """Host inverse of encode_clouds_packed_bounds: [B, PB] uint8 ->
+    (start u16 [B,S,d], size u16 [B,S,d], depths i32 [B], codes i32 [B,S],
+    centers f32 [B,3], longests f32 [B])."""
+    o = encode_bounds_layout(cfg)
+    if not buf.flags["C_CONTIGUOUS"]:
+        buf = np.ascontiguousarray(buf)   # axon fetches come back strided
+    B = buf.shape[0]
+    S, d = cfg.S, cfg.d
+    codes = buf[:, o["codes"]:o["depth"]].view(np.int32)
+    depth = buf[:, o["depth"]:o["center"]].view(np.int32)[:, 0]
+    center = buf[:, o["center"]:o["longest"]].view(np.float32)
+    longest = buf[:, o["longest"]:o["start"]].view(np.float32)[:, 0]
+    start = buf[:, o["start"]:o["size"]].view(np.uint16).reshape(B, S, d)
+    size = buf[:, o["size"]:].view(np.uint16).reshape(B, S, d)
+    return start, size, depth, codes, center, longest
+
+
 def encode_clouds_packed_io(ae_params, prob_params, q, lo, scale,
                             fps_starts, *, iprob_bundle, cfg: CodecConfig):
     """Integer-cdf encode with ALL outputs packed into one [B, PB] uint8
@@ -376,8 +430,13 @@ class Codec:
         self._integer_cdf = (cfg.cdf_mode == "integer"
                              and cfg.model != "PPPF-AE")
         if self._integer_cdf:
-            from pcc_tpu.coding.iprob import (convert_prob_params,
+            from pcc_tpu.coding.iprob import (bounds_supported,
+                                              convert_prob_params,
                                               weights_to_cdf_rows)
+
+            # encode-side interval fetch (4 B/symbol) instead of weight
+            # rows; falls back to rows for L beyond the int32-exact proof
+            self._bounds = bounds_supported(cfg.L)
 
             self._iprob = jax.tree.map(
                 jnp.asarray, convert_prob_params(prob_params, cfg.d, cfg.L))
@@ -410,7 +469,9 @@ class Codec:
             if self._integer_cdf:
                 # the bundle rides as a closed-over constant (replicated
                 # under shard_map); its "d"/"L" entries are static ints
-                fn = functools.partial(encode_clouds_packed_io, cfg=cfg,
+                enc_prog = (encode_clouds_packed_bounds if self._bounds
+                            else encode_clouds_packed_io)
+                fn = functools.partial(enc_prog, cfg=cfg,
                                        iprob_bundle=self._iprob)
             else:
                 fn = functools.partial(encode_clouds_packed_input, cfg=cfg)
@@ -503,8 +564,15 @@ class Codec:
                 res = enc(self.ae_params, self.prob_params, *args)
                 return res, cdf_fn(self.prob_params, res.rec_xyz)
 
-            def serialize_one(i, cdf, sym, depth, codes64, center, longest):
-                p_bytes = rangecoder.encode_quantized_cdf(cdf, sym)
+            def serialize_one(i, p_args, depth, codes64, center, longest):
+                # p_args: (cdf_rows, syms) on the weights path, or
+                # (start_row, size_row) on the interval path — both feed the
+                # same C++ coder and produce identical bytes
+                if self._integer_cdf and self._bounds:
+                    p_bytes = rangecoder.encode_bounds(
+                        p_args[0], p_args[1], (1 << 16) - 1)
+                else:
+                    p_bytes = rangecoder.encode_quantized_cdf(*p_args)
                 codes = codes64 >> (3 * (cfg.max_depth - depth))
                 if len(np.unique(codes)) != codes.shape[0]:
                     raise ValueError(
@@ -530,11 +598,19 @@ class Codec:
                     pending = dispatch(packed_next)     # overlap device work
                     if b + 2 < len(batches):
                         packed_next = self._pool.submit(pack, batches[b + 2])
-                if self._integer_cdf:
+                if self._integer_cdf and self._bounds:
+                    (buf,) = _fetch_all(out)            # ONE tunnel fetch
+                    (starts, sizes, depths, all_codes, centers,
+                     longests) = unpack_encode_bounds_buffer(buf, cfg=cfg)
+                    p_args = [(starts[j], sizes[j])
+                              for j in range(len(batch_idx))]
+                elif self._integer_cdf:
                     (buf,) = _fetch_all(out)            # ONE tunnel fetch
                     (syms, w, depths, all_codes,
                      centers, longests) = unpack_encode_buffer(buf, cfg=cfg)
                     cdfs = self._cdf_host(w)
+                    p_args = [(cdfs[j], syms[j].astype(np.int16))
+                              for j in range(len(batch_idx))]
                 else:
                     res, cdfs_dev = out
                     (syms, cdfs, depths, all_codes, centers,
@@ -542,11 +618,12 @@ class Codec:
                         res.sym, cdfs_dev, res.depth, res.sorted_codes,
                         res.center, res.longest)
                     cdfs = self._cdf_host(cdfs)
-                syms = syms.astype(np.int16)
+                    p_args = [(cdfs[j], syms[j].astype(np.int16))
+                              for j in range(len(batch_idx))]
                 all_codes = all_codes.astype(np.int64)
                 futures = [
                     self._pool.submit(
-                        serialize_one, i, cdfs[j], syms[j], int(depths[j]),
+                        serialize_one, i, p_args[j], int(depths[j]),
                         all_codes[j], centers[j], longests[j])
                     for j, i in enumerate(batch_idx)
                 ]

@@ -129,6 +129,30 @@ int64_t rc_encode(const int32_t* cdf, int64_t n, int32_t Lp,
   return enc.size();
 }
 
+// Encode from precomputed per-symbol (start, size) pairs under one shared
+// row total. The integer-deterministic CDF staircase (coding/iprob.py)
+// always totals 2^16 - 1, and the encoder side of the range coder touches
+// only the coded symbol's own interval — so the device can emit just
+// start/size (4 bytes/symbol) instead of full PMF weight rows, shrinking
+// the dominant encode-side tunnel fetch. Byte output is identical to
+// rc_encode over the full rows by construction.
+int64_t rc_encode_bounds(const uint16_t* starts, const uint16_t* sizes,
+                         int64_t n, int32_t total, uint8_t* out,
+                         int64_t cap) {
+  Encoder enc(out, cap);
+  const uint32_t tot = static_cast<uint32_t>(total);
+  if (tot == 0) return -1;
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t size = sizes[i];
+    if (size == 0 || starts[i] + size > tot) return -1;
+    enc.encode(starts[i], size, tot);
+    if (!enc.ok()) return -1;
+  }
+  enc.flush();
+  if (!enc.ok()) return -1;
+  return enc.size();
+}
+
 // Inverse of rc_encode given the identical cdf. Returns 0, or -1 on error.
 int64_t rc_decode(const int32_t* cdf, int64_t n, int32_t Lp,
                   const uint8_t* in, int64_t in_len, int16_t* syms_out) {

@@ -76,6 +76,74 @@ def weights_to_cdf_rows(w: np.ndarray) -> np.ndarray:
     return (cdf + np.arange(L + 1)).astype(np.int32)
 
 
+def bounds_supported(L: int) -> bool:
+    """The int32-only exact floor-division below needs every intermediate
+    under 2^31; the single 2^m limb split proves that for row totals up to
+    L * (2^16 - 1) with L <= 64 (see _exact_div_jnp). Larger L falls back
+    to fetching full weight rows."""
+    return L <= 64
+
+
+def _exact_div_jnp(c, k: int, total, m: int):
+    """floor(c * k / total) in pure int32 ops, bit-equal to the int64 host
+    division of weights_to_cdf_rows on any backend.
+
+    Preconditions (static, from the caller): 0 <= c <= total < 2^(16+ceil)
+    with ceil = ceil(log2(L)) <= 6, k < 2^16, and m chosen so that
+    ceil + 1 <= m <= 13 - ... every intermediate below stays < 2^31:
+      a    = (c >> m) * k            <  2^(16+ceil-m) * 2^16 <= 2^31
+      num2 = (r1 << m) + (c&mask)*k  <  total*2^m + 2^(16+m) <  2^31
+    Split identity: with a = q1*total + r1,
+      c*k = a*2^m + (c & mask)*k = q1*total*2^m + num2
+      floor(c*k/total) = q1*2^m + floor(num2/total).
+    """
+    import jax.numpy as jnp
+
+    c1 = c >> m
+    c0 = c & ((1 << m) - 1)
+    a = c1 * k
+    q1 = a // total
+    r1 = a - q1 * total
+    num2 = (r1 << m) + c0 * k
+    return (q1 << m) + num2 // total
+
+
+def iprob_encode_bounds(bundle, rec_xyz, sym):
+    """Per-symbol coding intervals on device: [B, S, 3] skeletons + [B, S, d]
+    symbols -> (start, size) uint16 pairs, exactly the
+    weights_to_cdf_rows(iprob_pmf_weights(...)) entries at [sym] and
+    [sym + 1].
+
+    Why: the range ENCODER touches only the coded symbol's own interval and
+    the (constant 2^16 - 1) total — so the encode-side fetch shrinks from
+    d*L uint16 weights per position to 4 bytes per position, and the host
+    staircase pass disappears from the compress path entirely. The decoder
+    still fetches full weight rows (symbol search needs the whole CDF).
+    Bit-equality with the host staircase is pinned by tests/test_iprob.py.
+    """
+    import jax.numpy as jnp
+
+    w = iprob_pmf_weights(bundle, rec_xyz)               # [B, S, d, L] int32
+    L = w.shape[-1]
+    assert bounds_supported(L), f"L={L} exceeds the int32-exact bounds proof"
+    ceil = max(1, int(np.ceil(np.log2(L))))
+    m = 13 - ceil                                        # ceil+1 <= m holds for L <= 64
+    k = (1 << 16) - (L + 1)
+
+    cum = jnp.cumsum(w, axis=-1)                         # total < L * 2^16
+    cum = jnp.concatenate([jnp.zeros_like(cum[..., :1]), cum], axis=-1)
+    total = jnp.maximum(cum[..., -1:], 1)
+    s = sym.astype(jnp.int32)[..., None]
+    c_lo = jnp.take_along_axis(cum, s, axis=-1)
+    c_hi = jnp.take_along_axis(cum, s + 1, axis=-1)
+    q_lo = _exact_div_jnp(c_lo, k, total, m)
+    q_hi = _exact_div_jnp(c_hi, k, total, m)
+    # cdf[j] = q(cum[j]) + j  =>  start = q_lo + s, size = q_hi - q_lo + 1
+    start = (q_lo + s)[..., 0].astype(jnp.uint16)
+    size = (q_hi - q_lo + 1)[..., 0].astype(jnp.uint16)
+    return start, size
+
+
 # ---------------------------------------------------------------------------
 # Conversion (host, numpy): float checkpoint -> integer parameter bundle.
 # ---------------------------------------------------------------------------

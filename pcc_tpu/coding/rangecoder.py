@@ -52,6 +52,11 @@ def _load_native():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.rc_encode_bounds.restype = ctypes.c_int64
+        lib.rc_encode_bounds.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_void_p, ctypes.c_int64,
+        ]
         _lib = lib
     except Exception:
         _lib_failed = True
@@ -104,6 +109,32 @@ def encode_quantized_cdf(cdf_int: np.ndarray, sym: np.ndarray,
             raise ValueError("range coder encode failed (bad symbol or overflow)")
         return out[:written].tobytes()
     return _py_encode(cdf, syms)
+
+
+def encode_bounds(start: np.ndarray, size: np.ndarray, total: int,
+                  force_python: bool = False) -> bytes:
+    """Encode from per-symbol (start, size) interval pairs under one shared
+    row total — the encoder-side shortcut for CDFs whose total is a known
+    constant (the integer staircase always totals 2^16 - 1). Produces the
+    same bytes as encode_quantized_cdf over the full rows; the device
+    computes start/size exactly (iprob.iprob_encode_bounds), so the host
+    never sees the PMF weights on the encode path."""
+    starts = np.ascontiguousarray(np.asarray(start, np.uint16).reshape(-1))
+    sizes = np.ascontiguousarray(np.asarray(size, np.uint16).reshape(-1))
+    n = starts.shape[0]
+    assert sizes.shape[0] == n
+    lib = None if force_python else _load_native()
+    if lib is not None:
+        cap = max(1024, 4 * n)
+        out = np.zeros(cap, dtype=np.uint8)
+        written = lib.rc_encode_bounds(
+            starts.ctypes.data, sizes.ctypes.data, n, total,
+            out.ctypes.data, cap)
+        if written < 0:
+            raise ValueError(
+                "range coder encode failed (zero-size or out-of-total bound)")
+        return out[:written].tobytes()
+    return _py_encode_bounds(starts, sizes, total)
 
 
 def decode_float_cdf(cdf_float: np.ndarray, byte_stream: bytes,
@@ -177,6 +208,16 @@ def _py_encode(cdf: np.ndarray, syms: np.ndarray) -> bytes:
     for _ in range(5):
         shift_low()
     return bytes(out)
+
+
+def _py_encode_bounds(starts: np.ndarray, sizes: np.ndarray,
+                      total: int) -> bytes:
+    rows = np.stack([starts.astype(np.int32),
+                     starts.astype(np.int32) + sizes.astype(np.int32),
+                     np.full(starts.shape, total, np.int32)], axis=-1)
+    # row layout [start, start+size, total] with sym=0 reproduces the exact
+    # (start, size, total) triple sequence of the full-row coder
+    return _py_encode(rows, np.zeros(starts.shape[0], np.int16))
 
 
 def _py_decode(cdf: np.ndarray, byte_stream: bytes) -> np.ndarray:

@@ -172,3 +172,49 @@ def test_packed_io_buffer_roundtrip(rng):
     q2, scale2 = unpack_decode_buffer(dbuf, CFG.S)
     np.testing.assert_array_equal(q2, np.asarray(dq))
     np.testing.assert_array_equal(scale2, np.asarray(dscale))
+
+
+def test_packed_bounds_buffer_roundtrip(rng):
+    """encode_clouds_packed_bounds (the Codec's default encode program)
+    unpacks to the same skeleton fields, and its per-symbol intervals equal
+    the host staircase's entries over the weights-path PMF bit-for-bit."""
+    import jax.numpy as jnp
+
+    from pcc_tpu.codec import (encode_clouds, encode_clouds_packed_bounds,
+                               init_params, skeleton_pmf_weights,
+                               unpack_encode_bounds_buffer)
+    from pcc_tpu.coding.iprob import convert_prob_params, weights_to_cdf_rows
+
+    ae_params, prob_params = init_params(jax.random.key(3), CFG)
+    bundle = jax.tree.map(jnp.asarray,
+                          convert_prob_params(prob_params, CFG.d, CFG.L))
+    B = 3
+    pcs = np.stack([_cloud(rng) for _ in range(B)])
+    starts = jnp.zeros((B,), jnp.int32)
+    lo = pcs.min(axis=1)
+    scale = np.maximum(pcs.max(axis=1) - lo, 1e-12).astype(np.float32)
+    q = np.rint((pcs - lo[:, None, :]) * (65535.0 / scale)[:, None, :])
+    depacked = q.astype(np.float32) * (scale / 65535.0)[:, None, :] \
+        + lo[:, None, :]
+    res = encode_clouds(ae_params, prob_params, jnp.asarray(depacked),
+                        starts, cfg=CFG)
+
+    buf = np.asarray(encode_clouds_packed_bounds(
+        ae_params, prob_params, jnp.asarray(q.astype(np.uint16)),
+        jnp.asarray(lo.astype(np.float32)), jnp.asarray(scale),
+        starts, iprob_bundle=bundle, cfg=CFG))
+    (b_start, b_size, depth, codes,
+     center, longest) = unpack_encode_bounds_buffer(buf, cfg=CFG)
+    np.testing.assert_array_equal(depth, np.asarray(res.depth))
+    np.testing.assert_array_equal(codes, np.asarray(res.sorted_codes))
+    np.testing.assert_array_equal(center, np.asarray(res.center))
+    np.testing.assert_array_equal(longest, np.asarray(res.longest))
+
+    rows = weights_to_cdf_rows(
+        np.asarray(skeleton_pmf_weights(bundle, res.rec_xyz)))
+    sym = np.asarray(res.sym).astype(np.int64)[..., None]
+    want_lo = np.take_along_axis(rows, sym, axis=-1)[..., 0]
+    want_hi = np.take_along_axis(rows, sym + 1, axis=-1)[..., 0]
+    np.testing.assert_array_equal(b_start.astype(np.int64), want_lo)
+    np.testing.assert_array_equal(b_size.astype(np.int64),
+                                  want_hi - want_lo)

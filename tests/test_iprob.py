@@ -96,6 +96,78 @@ def test_integer_pmf_tracks_float_pmf(bundle_and_params, rng):
     assert (ce - h).mean() < 0.01 * max(h.mean(), 0.1), (ce.mean(), h.mean())
 
 
+def test_encode_bounds_bit_exact(bundle_and_params, rng):
+    """Device-computed per-symbol intervals (iprob_encode_bounds, pure
+    int32 ops) equal the host int64 staircase's [sym] / [sym+1] entries
+    bit-for-bit — the guarantee that lets the encode path fetch 4 bytes per
+    symbol instead of full weight rows with unchanged stream bytes."""
+    from pcc_tpu.coding.iprob import iprob_encode_bounds
+
+    cfg, _, bundle = bundle_and_params
+    rec = _skeletons(rng, 4)
+    sym = rng.integers(0, cfg.L, (4, 64, cfg.d)).astype(np.int32)
+
+    dev_bundle = jax.tree.map(jnp.asarray, bundle)
+    start, size = jax.jit(
+        lambda r, s: iprob_encode_bounds(dev_bundle, r, s)
+    )(jnp.asarray(rec), jnp.asarray(sym))
+    start, size = np.asarray(start), np.asarray(size)
+
+    rows = weights_to_cdf_rows(iprob_pmf_weights_np(bundle, rec))
+    lo = np.take_along_axis(rows, sym[..., None], axis=-1)[..., 0]
+    hi = np.take_along_axis(rows, sym[..., None] + 1, axis=-1)[..., 0]
+    np.testing.assert_array_equal(start.astype(np.int32), lo)
+    np.testing.assert_array_equal(size.astype(np.int32), hi - lo)
+
+
+def test_encode_bounds_worst_case_magnitudes():
+    """The int32-only exact division survives adversarial weights: maximal
+    (all-65535) and maximally skewed rows at the largest supported L."""
+    from pcc_tpu.coding.iprob import _exact_div_jnp, bounds_supported
+
+    L = 64
+    assert bounds_supported(L) and not bounds_supported(65)
+    k = (1 << 16) - (L + 1)
+    m = 13 - int(np.ceil(np.log2(L)))
+    rows = np.stack([
+        np.full(L, 65535, np.int64),                      # max total
+        np.concatenate([[65535], np.ones(L - 1)]),        # skewed
+        np.ones(L, np.int64),                             # min weights
+    ])
+    cum = np.concatenate([np.zeros((3, 1), np.int64),
+                          np.cumsum(rows, axis=-1)], axis=-1)
+    total = np.maximum(cum[:, -1:], 1)
+    want = (cum * k) // total
+    got = np.asarray(_exact_div_jnp(
+        jnp.asarray(cum, jnp.int32), k, jnp.asarray(total, jnp.int32), m))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encode_bounds_stream_bytes_identical(bundle_and_params, rng):
+    """rangecoder.encode_bounds over intervals == encode_quantized_cdf over
+    the full rows, in both the C++ coder and the python fallback."""
+    from pcc_tpu.coding import rangecoder
+
+    cfg, _, bundle = bundle_and_params
+    rec = _skeletons(rng, 2)
+    sym = rng.integers(0, cfg.L, (2, 64, cfg.d))
+    rows = weights_to_cdf_rows(iprob_pmf_weights_np(bundle, rec))
+    for b in range(2):
+        r = rows[b].reshape(-1, cfg.L + 1)
+        s = sym[b].reshape(-1).astype(np.int16)
+        lo = r[np.arange(r.shape[0]), s]
+        hi = r[np.arange(r.shape[0]), s + 1]
+        ref = rangecoder.encode_quantized_cdf(r, s)
+        got = rangecoder.encode_bounds(lo, hi - lo, (1 << 16) - 1)
+        got_py = rangecoder.encode_bounds(lo, hi - lo, (1 << 16) - 1,
+                                          force_python=True)
+        assert got == ref
+        assert got_py == ref
+        # and the stream still decodes against the full rows
+        np.testing.assert_array_equal(
+            rangecoder.decode_quantized_cdf(r, got), s)
+
+
 def test_codec_roundtrip_integer_mode(rng):
     """Full Codec roundtrip with the integer CDF path (the default), and
     the stream decodes under a SECOND Codec instance (fresh compiled
