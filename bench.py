@@ -421,8 +421,8 @@ def profile_breakdown():
     ae_params, prob_params = init_params_cpu(11, cfg)
     codec = Codec(cfg, ae_params, prob_params, batch_size=BATCH)
     clouds = synthetic_clouds(BATCH)
-    from pcc_tpu.codec import pack_clouds_u16
-    qh, loh, sch = pack_clouds_u16(np.stack(clouds))
+    from pcc_tpu.codec import pack_clouds_u10
+    qh, loh, sch = pack_clouds_u10(np.stack(clouds))
     q_d, lo_d, sc_d = jnp.asarray(qh), jnp.asarray(loh), jnp.asarray(sch)
     pcs = jnp.asarray(np.stack(clouds))
     starts = jnp.zeros((BATCH,), jnp.int32)

@@ -47,6 +47,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from pcc_tpu.cli._common import setup_jax
+    setup_jax()   # compile cache + honor JAX_PLATFORMS (the other CLIs do)
 
     files = sorted(glob(args.input_glob, recursive=True))
     filenames = [os.path.split(x)[1] for x in files]

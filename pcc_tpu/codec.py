@@ -135,26 +135,35 @@ def encode_clouds(ae_params, prob_params, pcs, fps_starts, *,
 
 def encode_clouds_packed_input(ae_params, prob_params, q, lo, scale,
                                fps_starts, *, cfg: CodecConfig):
-    """encode_clouds over a packed uint16 host upload.
+    """encode_clouds over a packed 3x10-bit-per-point host upload.
 
-    The axon tunnel moves ~30 MB/s, so the 12.6 MB float32 cloud upload per
-    128-batch is the encode pipeline's single biggest transfer (bench
-    --profile). The host packs each cloud to uint16 fixed point against its
-    own bounding box (resolution extent/65535 ~ 2e-5 of the cloud extent,
-    two orders below the codec's own RMSE) and uploads half the bytes; the
-    device depacks in one fused multiply-add.
+    The axon tunnel moves ~30 MB/s, so the cloud upload per 128-batch is
+    the encode pipeline's single biggest transfer (bench --profile): 12.6 MB
+    as float32, 6.3 MB as uint16 fixed point, 4.2 MB as one uint32 per
+    point holding all three 10-bit coordinates (this layout). Resolution is
+    extent/1023 ~ 1e-3 of the cloud's own bounding box per axis — the added
+    quantization MSE is ~0.2% of the codec's reconstruction MSE at the
+    golden operating point (analytically 3*(1e-3)^2/12 = 2.5e-7 extent^2
+    vs ~1.2e-4; measured < 0.02 dB D1 on a trained model, A/B vs the
+    uint16 packing this replaces). The device depacks with three shifts and
+    one fused multiply-add.
     """
-    pcs = q.astype(jnp.float32) * (scale / 65535.0)[:, None, :] \
-        + lo[:, None, :]
+    qi = q.astype(jnp.int32)                               # values < 2^30
+    v = jnp.stack([qi & 1023, (qi >> 10) & 1023, (qi >> 20) & 1023],
+                  axis=-1).astype(jnp.float32)             # [B, N, 3]
+    pcs = v * (scale / 1023.0)[:, None, :] + lo[:, None, :]
     return encode_clouds(ae_params, prob_params, pcs, fps_starts, cfg=cfg)
 
 
-def pack_clouds_u16(pcs: np.ndarray):
-    """Host-side vectorized packing [B, N, 3] f32 -> (uint16, lo, scale)."""
+def pack_clouds_u10(pcs: np.ndarray):
+    """Host-side vectorized packing [B, N, 3] f32 -> (uint32 [B, N] with
+    x | y<<10 | z<<20, lo [B, 3], scale [B, 3])."""
     lo = pcs.min(axis=1)
     scale = np.maximum(pcs.max(axis=1) - lo, 1e-12).astype(np.float32)
-    q = np.rint((pcs - lo[:, None, :]) * (65535.0 / scale)[:, None, :])
-    return q.astype(np.uint16), lo.astype(np.float32), scale
+    q = np.rint((pcs - lo[:, None, :])
+                * (1023.0 / scale)[:, None, :]).astype(np.uint32)
+    return (q[..., 0] | (q[..., 1] << 10) | (q[..., 2] << 20),
+            lo.astype(np.float32), scale)
 
 
 def encode_cloud(ae_params, prob_params, pc, fps_start, *, cfg: CodecConfig):
@@ -553,7 +562,7 @@ class Codec:
                 idx_p = list(batch_idx) + [batch_idx[-1]] * pad
                 pcs = np.stack([clouds[i] for i in idx_p])
                 starts = np.asarray([fps_starts[i] for i in idx_p], np.int32)
-                return (*pack_clouds_u16(pcs), starts)   # halve the upload
+                return (*pack_clouds_u10(pcs), starts)   # 1/3 the f32 upload
 
             def dispatch(packed):
                 q, lo, scale, starts = packed.result()

@@ -141,21 +141,22 @@ def test_packed_io_buffer_roundtrip(rng):
                         cfg=CFG)
     w_ref = np.asarray(skeleton_pmf_weights(bundle, res.rec_xyz))
 
-    # packed program over the identity u16 packing (scale spans [0,1]+)
-    lo = pcs.min(axis=1)
-    scale = np.maximum(pcs.max(axis=1) - lo, 1e-12).astype(np.float32)
-    q = np.rint((pcs - lo[:, None, :]) * (65535.0 / scale)[:, None, :])
-    # encode_clouds sees f32 pcs; packed sees the u16 depack — feed the
-    # DEPACKED f32 through encode_clouds so both paths get identical input
-    depacked = q.astype(np.float32) * (scale / 65535.0)[:, None, :] \
-        + lo[:, None, :]
+    # encode_clouds sees f32 pcs; packed sees the 3x10-bit depack — feed
+    # the DEPACKED f32 through encode_clouds so both paths get identical
+    # input
+    from pcc_tpu.codec import pack_clouds_u10
+
+    q, lo, scale = pack_clouds_u10(pcs)
+    v = np.stack([q & 1023, (q >> 10) & 1023, (q >> 20) & 1023],
+                 axis=-1).astype(np.float32)
+    depacked = v * (scale / 1023.0)[:, None, :] + lo[:, None, :]
     res = encode_clouds(ae_params, prob_params, jnp.asarray(depacked),
                         starts, cfg=CFG)
     w_ref = np.asarray(skeleton_pmf_weights(bundle, res.rec_xyz))
 
     buf = np.asarray(encode_clouds_packed_io(
-        ae_params, prob_params, jnp.asarray(q.astype(np.uint16)),
-        jnp.asarray(lo.astype(np.float32)), jnp.asarray(scale),
+        ae_params, prob_params, jnp.asarray(q),
+        jnp.asarray(lo), jnp.asarray(scale),
         starts, iprob_bundle=bundle, cfg=CFG))
     sym, w, depth, codes, center, longest = unpack_encode_buffer(buf, cfg=CFG)
     np.testing.assert_array_equal(sym, np.asarray(res.sym))
@@ -188,20 +189,21 @@ def test_packed_bounds_buffer_roundtrip(rng):
     ae_params, prob_params = init_params(jax.random.key(3), CFG)
     bundle = jax.tree.map(jnp.asarray,
                           convert_prob_params(prob_params, CFG.d, CFG.L))
+    from pcc_tpu.codec import pack_clouds_u10
+
     B = 3
     pcs = np.stack([_cloud(rng) for _ in range(B)])
     starts = jnp.zeros((B,), jnp.int32)
-    lo = pcs.min(axis=1)
-    scale = np.maximum(pcs.max(axis=1) - lo, 1e-12).astype(np.float32)
-    q = np.rint((pcs - lo[:, None, :]) * (65535.0 / scale)[:, None, :])
-    depacked = q.astype(np.float32) * (scale / 65535.0)[:, None, :] \
-        + lo[:, None, :]
+    q, lo, scale = pack_clouds_u10(pcs)
+    v = np.stack([q & 1023, (q >> 10) & 1023, (q >> 20) & 1023],
+                 axis=-1).astype(np.float32)
+    depacked = v * (scale / 1023.0)[:, None, :] + lo[:, None, :]
     res = encode_clouds(ae_params, prob_params, jnp.asarray(depacked),
                         starts, cfg=CFG)
 
     buf = np.asarray(encode_clouds_packed_bounds(
-        ae_params, prob_params, jnp.asarray(q.astype(np.uint16)),
-        jnp.asarray(lo.astype(np.float32)), jnp.asarray(scale),
+        ae_params, prob_params, jnp.asarray(q),
+        jnp.asarray(lo), jnp.asarray(scale),
         starts, iprob_bundle=bundle, cfg=CFG))
     (b_start, b_size, depth, codes,
      center, longest) = unpack_encode_bounds_buffer(buf, cfg=CFG)
