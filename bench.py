@@ -474,7 +474,7 @@ def profile_breakdown():
              >> (3 * (cfg.max_depth - int(depths[j]))), int(depths[j]))
         for j in range(BATCH)]))
     _, t_cdf = timed("device cdf program (decode side)",
-                     lambda: cdf_fn(codec.prob_params, recs_d))
+                     lambda: cdf_fn(codec._iprob, recs_d))
 
     # stage-level split of the encode program (each stage jitted separately;
     # the fused program overlaps them, so stages can sum to more than the
@@ -587,7 +587,7 @@ def profile_breakdown():
     print(f"host skeleton parse (serial): {t_parse*1e3:.1f} ms/batch{BATCH}")
 
     recs = jnp.asarray(np.stack(parsed))
-    w_dec = np.asarray(cdf_fn(codec.prob_params, recs))
+    w_dec = np.asarray(cdf_fn(codec._iprob, recs))
     t0 = time.perf_counter()
     cdfs_np = codec._cdf_host(w_dec)   # staircase now decode-side only
     print(f"host cdf staircase (decode side): "

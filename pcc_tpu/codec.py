@@ -184,7 +184,7 @@ def skeleton_cdf(prob_params, rec_xyz, *, cfg: CodecConfig):
     return pmf_to_quantized_cdf(pmf)
 
 
-def skeleton_pmf_weights(iprob_bundle, rec_xyz):
+def skeleton_pmf_weights(iprob_bundle, rec_xyz, *, d=None, L=None):
     """Deterministic integer coding path (coding/iprob.py): [B, S, 3]
     skeletons -> uint16 Q16 softmax weights [B, S, d, L]. The host derives
     the CDF staircase with pure integer ops (weights_to_cdf_rows), so the
@@ -194,7 +194,8 @@ def skeleton_pmf_weights(iprob_bundle, rec_xyz):
     d*L uint16 weights/row instead of d*(L+1) CDF entries."""
     from pcc_tpu.coding.iprob import iprob_pmf_weights
 
-    return iprob_pmf_weights(iprob_bundle, rec_xyz).astype(jnp.uint16)
+    return iprob_pmf_weights(iprob_bundle, rec_xyz,
+                             d=d, L=L).astype(jnp.uint16)
 
 
 def _u8(x):
@@ -248,7 +249,8 @@ def encode_clouds_packed_bounds(ae_params, prob_params, q, lo, scale,
 
     res = encode_clouds_packed_input(ae_params, prob_params, q, lo, scale,
                                      fps_starts, cfg=cfg)
-    start, size = iprob_encode_bounds(iprob_bundle, res.rec_xyz, res.sym)
+    start, size = iprob_encode_bounds(iprob_bundle, res.rec_xyz, res.sym,
+                                      d=cfg.d, L=cfg.L)
     return jnp.concatenate([
         _u8(res.sorted_codes), _u8(res.depth[:, None]),
         _u8(res.center), _u8(res.longest[:, None]),
@@ -288,7 +290,8 @@ def encode_clouds_packed_io(ae_params, prob_params, q, lo, scale,
     CDFs — bit-equality across programs holds by construction."""
     res = encode_clouds_packed_input(ae_params, prob_params, q, lo, scale,
                                      fps_starts, cfg=cfg)
-    w = skeleton_pmf_weights(iprob_bundle, res.rec_xyz)      # [B,S,d,L] u16
+    w = skeleton_pmf_weights(iprob_bundle, res.rec_xyz,
+                             d=cfg.d, L=cfg.L)               # [B,S,d,L] u16
     return jnp.concatenate([
         _u8(res.sorted_codes), _u8(res.depth[:, None]),
         _u8(res.center), _u8(res.longest[:, None]),
@@ -320,6 +323,29 @@ def decode_clouds_packed_io(ae_params, sym, rec_xyz, *, cfg: CodecConfig):
     buffer (scale f32 [S,3] first, then q int8 [S,k,3]) — single fetch."""
     q, scale = decode_clouds_packed(ae_params, sym, rec_xyz, cfg=cfg)
     return jnp.concatenate([_u8(scale), _u8(q)], axis=1)
+
+
+def decode_clouds_entropy_io(ae_params, rec_xyz, streams_u8, *,
+                             iprob_bundle, cfg: CodecConfig):
+    """ONE-program decompress for the integer cdf mode: integer CDF
+    staircase -> lane-parallel range decode of the raw .p.bin byte streams
+    (coding/rc_device.py) -> decoder network -> packed output buffer.
+
+    The host uploads only the parsed skeletons and the zero-padded byte
+    streams (~0.15 MB per 128-batch) and fetches one packed buffer — no
+    PMF-weight fetch (1.8 MB), no separate CDF dispatch, no host range
+    decoding. Symbol parity with the host coder is pinned by
+    tests/test_rc_device.py."""
+    from pcc_tpu.coding.iprob import iprob_pmf_weights
+    from pcc_tpu.coding.rc_device import range_decode_batch, staircase_full
+
+    B, S = rec_xyz.shape[:2]
+    w = iprob_pmf_weights(iprob_bundle, rec_xyz,
+                          d=cfg.d, L=cfg.L)               # [B, S, d, L]
+    cdf = staircase_full(w).reshape(B, S * cfg.d, cfg.L + 1)
+    syms = range_decode_batch(cdf, streams_u8)
+    sym = syms.reshape(B, S, cfg.d).astype(jnp.int8)
+    return decode_clouds_packed_io(ae_params, sym, rec_xyz, cfg=cfg)
 
 
 def unpack_decode_buffer(buf: np.ndarray, S: int):
@@ -447,8 +473,13 @@ class Codec:
             # rows; falls back to rows for L beyond the int32-exact proof
             self._bounds = bounds_supported(cfg.L)
 
+            raw = convert_prob_params(prob_params, cfg.d, cfg.L)
+            # the device bundle is passed as a jit ARGUMENT (see
+            # _encode_fn); drop the static "d"/"L" ints so every leaf is a
+            # traceable array, and supply d/L from cfg at the call sites
             self._iprob = jax.tree.map(
-                jnp.asarray, convert_prob_params(prob_params, cfg.d, cfg.L))
+                jnp.asarray,
+                {k: v for k, v in raw.items() if k not in ("d", "L")})
             self._cdf_host = weights_to_cdf_rows
         else:
             self._cdf_host = lambda c: np.asarray(c, dtype=np.int32)
@@ -476,16 +507,25 @@ class Codec:
         if N not in self._encode_cache:
             cfg = self.cfg.with_n(N)
             if self._integer_cdf:
-                # the bundle rides as a closed-over constant (replicated
-                # under shard_map); its "d"/"L" entries are static ints
+                # the bundle is an EXPLICIT argument, never a jit closure
+                # constant: a closed-over pytree of device arrays can hit a
+                # jit fastpath arity mismatch on the second call of the
+                # same compiled function ("Execution supplied N buffers but
+                # compiled program expected M") — reproduced with two Codec
+                # instances in one process. Explicit args have
+                # deterministic arity everywhere, and shard_map replicates
+                # them cleanly.
                 enc_prog = (encode_clouds_packed_bounds if self._bounds
                             else encode_clouds_packed_io)
-                fn = functools.partial(enc_prog, cfg=cfg,
-                                       iprob_bundle=self._iprob)
+                base = functools.partial(enc_prog, cfg=cfg)
+                fn = lambda ae, prob, bundle, q, lo, scale, starts: base(
+                    ae, prob, q, lo, scale, starts, iprob_bundle=bundle)
+                n_repl = 3
             else:
                 fn = functools.partial(encode_clouds_packed_input, cfg=cfg)
+                n_repl = 2
             if self.mesh is not None:
-                fn = self._shard_map(fn, n_in_sharded=4, n_in_repl=2)
+                fn = self._shard_map(fn, n_in_sharded=4, n_in_repl=n_repl)
             self._encode_cache[N] = jax.jit(fn)
         return self._encode_cache[N]
 
@@ -497,8 +537,10 @@ class Codec:
             # so the patch scale matches whatever N the encoder saw.
             cfg = self.cfg.with_n(S * self.cfg.k)
             if self._integer_cdf:
-                bundle = self._iprob
-                cdf_raw = lambda _, recs: skeleton_pmf_weights(bundle, recs)
+                # callers pass self._iprob as the first argument (the
+                # bundle is never a closure constant — see _encode_fn)
+                cdf_raw = functools.partial(skeleton_pmf_weights,
+                                            d=cfg.d, L=cfg.L)
             elif cfg.model == "PPPF-AE":
                 cdf_raw = functools.partial(skeleton_cdf_batch, cfg=cfg)
             else:
@@ -569,7 +611,8 @@ class Codec:
                 args = (jnp.asarray(q), jnp.asarray(lo), jnp.asarray(scale),
                         jnp.asarray(starts))
                 if self._integer_cdf:
-                    return enc(self.ae_params, self.prob_params, *args)
+                    return enc(self.ae_params, self.prob_params,
+                               self._iprob, *args)
                 res = enc(self.ae_params, self.prob_params, *args)
                 return res, cdf_fn(self.prob_params, res.rec_xyz)
 
@@ -661,6 +704,12 @@ class Codec:
             by_s.setdefault(rec.shape[0], []).append(i)
 
         for S, idxs in by_s.items():
+            if self._integer_cdf:
+                # integer cdf mode: CDFs + range decoding + decoder network
+                # all inside ONE device program (decode_clouds_entropy_io) —
+                # upload skeletons + raw byte streams, fetch one buffer
+                self._decompress_fused(streams, parsed, S, idxs, results)
+                continue
             cdf_fn, dec_fn = self._decode_fns(S)
             batches = [
                 idxs[lo : lo + self.batch_size]
@@ -726,3 +775,65 @@ class Codec:
                 pending_dec = (batch_idx, dec_out)
             collect(pending_dec)
         return results
+
+    def _fused_decode_fn(self, S: int, plen: int):
+        """jit of decode_clouds_entropy_io, cached per (S, padded stream
+        length) — stream lengths are rounded up to 512-byte quanta so a
+        workload sees only a handful of compiles."""
+        key = ("fused", S, plen)
+        if key not in self._decode_cache:
+            cfg = self.cfg.with_n(S * self.cfg.k)
+            base = functools.partial(decode_clouds_entropy_io, cfg=cfg)
+            # bundle as explicit arg, not a closure constant — see
+            # _encode_fn for the jit arity failure mode this avoids
+            fn = lambda ae, bundle, recs, streams: base(
+                ae, recs, streams, iprob_bundle=bundle)
+            if self.mesh is not None:
+                fn = self._shard_map(fn, n_in_sharded=2, n_in_repl=2)
+            self._decode_cache[key] = jax.jit(fn)
+        return self._decode_cache[key]
+
+    def _decompress_fused(self, streams, parsed, S, idxs, results):
+        """Integer-mode decompress: one dispatch + one fetch per batch,
+        pipelined one batch ahead (upload/compute of batch i+1 overlaps the
+        fetch/depack of batch i)."""
+        batches = [
+            idxs[lo : lo + self.batch_size]
+            for lo in range(0, len(idxs), self.batch_size)
+        ]
+
+        def dispatch(batch_idx):
+            pad = self.batch_size - len(batch_idx)
+            idx_p = list(batch_idx) + [batch_idx[-1]] * pad
+            recs = np.stack([parsed[i][0] for i in idx_p])
+            blobs = [streams[i][0] for i in idx_p]
+            plen = max(512, -(-max(len(b) for b in blobs) // 512) * 512)
+            arr = np.zeros((len(idx_p), plen), np.uint8)
+            for j, b in enumerate(blobs):
+                arr[j, : len(b)] = np.frombuffer(b, np.uint8)
+            headers = np.stack([parsed[i][1] for i in idx_p])
+            fn = self._fused_decode_fn(S, plen)
+            return idx_p, headers, fn(self.ae_params, self._iprob,
+                                      jnp.asarray(recs), jnp.asarray(arr))
+
+        def collect(entry):
+            # same depack + denormalize as the float path's collect
+            prev_idx, (idx_p, headers, out_buf) = entry
+            (buf,) = _fetch_all(out_buf)                # ONE tunnel fetch
+            q, scale = unpack_decode_buffer(buf, S)
+            recs = np.stack([parsed[i][0] for i in idx_p])
+            pc01 = (q.astype(np.float32)
+                    * (scale / 127.0)[:, :, None, :]
+                    + recs[:, :, None, :]).reshape(len(idx_p), -1, 3)
+            margin = self.cfg.margin
+            out = (pc01 - 0.5) * (headers[:, None, 3:4] / (1.0 - margin)) \
+                + headers[:, None, :3]
+            for j, i in enumerate(prev_idx):
+                results[i] = out[j]
+
+        pending = (batches[0], dispatch(batches[0]))
+        for b, batch_idx in enumerate(batches):
+            prev = pending
+            if b + 1 < len(batches):
+                pending = (batches[b + 1], dispatch(batches[b + 1]))
+            collect(prev)

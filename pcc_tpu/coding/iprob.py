@@ -108,7 +108,7 @@ def _exact_div_jnp(c, k: int, total, m: int):
     return (q1 << m) + num2 // total
 
 
-def iprob_encode_bounds(bundle, rec_xyz, sym):
+def iprob_encode_bounds(bundle, rec_xyz, sym, *, d=None, L=None):
     """Per-symbol coding intervals on device: [B, S, 3] skeletons + [B, S, d]
     symbols -> (start, size) uint16 pairs, exactly the
     weights_to_cdf_rows(iprob_pmf_weights(...)) entries at [sym] and
@@ -123,7 +123,7 @@ def iprob_encode_bounds(bundle, rec_xyz, sym):
     """
     import jax.numpy as jnp
 
-    w = iprob_pmf_weights(bundle, rec_xyz)               # [B, S, d, L] int32
+    w = iprob_pmf_weights(bundle, rec_xyz, d=d, L=L)     # [B, S, d, L] int32
     L = w.shape[-1]
     assert bounds_supported(L), f"L={L} exceeds the int32-exact bounds proof"
     ceil = max(1, int(np.ceil(np.log2(L))))
@@ -226,7 +226,15 @@ def convert_prob_params(prob_params, d: int, L: int, *, n_calib: int = 64,
     acts = _float_forward_acts(pn, mlp, rng.random((n_calib, S, 3)))
     amax = [max(float(np.abs(a).max()) * 1.25, 1e-3) for a in acts]
 
-    bundle = {"d": np.int32(d), "L": np.int32(L)}
+    # the exp2 LUT rides in the bundle so jitted consumers get it as an
+    # ARGUMENT: a >few-hundred-byte np constant embedded in a jitted
+    # program gets hoisted into an executable parameter, and the JAX
+    # persistent compilation cache's serialize round-trip loses that
+    # parameter plumbing — the second call of the same jit then fails with
+    # INVALID_ARGUMENT "supplied N buffers but compiled program expected
+    # M" (reproduced; tests/test_rc_device.py::test_codec_two_instances
+    # guards the fix)
+    bundle = {"d": np.int32(d), "L": np.int32(L), "lut": EXP2_LUT}
     s_in = float(1 << Q_IN)                      # xyz at Q14
     in_max = 1 << Q_IN
     for i in range(3):                           # PN trunk
@@ -355,7 +363,7 @@ def _requant_jnp(z, layer, relu):
     return jnp.clip(a, -32767, 32767)
 
 
-def iprob_pmf_weights(bundle, rec_xyz):
+def iprob_pmf_weights(bundle, rec_xyz, *, d=None, L=None):
     """JAX twin of iprob_pmf_weights_np (same integer spec, MXU matmuls):
     [B, S, 3] -> [B, S, d, L] int32 Q16 weights, bit-equal on any backend.
 
@@ -363,11 +371,16 @@ def iprob_pmf_weights(bundle, rec_xyz):
     device so the host pulls 2 bytes/weight — S*d*L*2 = 14 KB/cloud vs the
     35 KB/cloud of full uint16 CDF rows, and the host derives the staircase
     (weights_to_cdf_rows) with pure integer ops.
+
+    d/L: pass explicitly when `bundle` is a jit ARGUMENT (its leaves are
+    tracers, so bundle["d"] cannot be read) — the Codec does this; closures
+    over concrete bundles may omit them.
     """
     import jax.numpy as jnp
 
     B, S, _ = rec_xyz.shape
-    d, L = int(bundle["d"]), int(bundle["L"])
+    d = int(bundle["d"]) if d is None else int(d)
+    L = int(bundle["L"]) if L is None else int(L)
     xq = jnp.round(rec_xyz.astype(jnp.float32)
                    * float(1 << Q_IN)).astype(jnp.int32).reshape(-1, 3)
     a = xq
@@ -394,5 +407,10 @@ def iprob_pmf_weights(bundle, rec_xyz):
     v = jnp.minimum((-t) * LOG2E_Q8, 31 << 16)
     n = v >> 16
     f = (v >> (16 - LUT_BITS)) & ((1 << LUT_BITS) - 1)
-    lut = jnp.asarray(EXP2_LUT)
+    # prefer the bundle's LUT (an explicit jit argument); the asarray
+    # fallback keeps pre-"lut" bundles working but embeds a hoisted
+    # constant — see convert_prob_params for why that matters
+    lut = bundle.get("lut") if hasattr(bundle, "get") else None
+    if lut is None:
+        lut = jnp.asarray(EXP2_LUT)
     return jnp.take(lut, f) >> n

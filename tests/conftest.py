@@ -11,14 +11,25 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Keep test compiles fully local: the axon remote-compile service also
 # intercepts CPU compiles, and its AOT results can deadlock / SIGILL when
-# reloaded on this host.
+# reloaded on this host. NOTE: the axon sitecustomize reads this var at
+# INTERPRETER START (before conftest), so popping it here cannot
+# un-register an already-remote_compile plugin — it only protects
+# subprocesses we spawn. Entries a remote compiler wrote are therefore
+# possible in principle, and after a terminal-side compiler upgrade they
+# can reload as executables with mismatched buffer layouts
+# (INVALID_ARGUMENT "supplied N buffers but compiled program expected M",
+# with cpu_aot_loader machine-feature warnings). Defense: key the cache
+# dir by the flag's value at startup, and if that error ever appears,
+# `rm -rf tests/.jax_cache*` and rerun.
+_rc = os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1"
 os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 
 import numpy as np
 import pytest
 
 # Persistent compile cache makes repeat suite runs compile-free.
-_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+_cache = os.path.join(os.path.dirname(__file__),
+                      ".jax_cache_rc" if _rc else ".jax_cache")
 os.makedirs(_cache, exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
 
