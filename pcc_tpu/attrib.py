@@ -216,10 +216,17 @@ class AttrCodec:
         cdf, acdf = cdf_fn(self.params["prob"], self.params["attr_prob"],
                            res.rec_xyz)
         take = lambda x: np.asarray(x)[0]
-        p = rangecoder.encode_float_cdf(
-            take(cdf).astype(np.float64), take(res.sym).astype(np.int16))
-        a = rangecoder.encode_float_cdf(
-            take(acdf).astype(np.float64), take(res.asym).astype(np.int16))
+        # 4-byte CDF-checksum trailers: float-CDF streams fail LOUDLY when
+        # decoded under a drifted compiled CDF program instead of range-
+        # decoding plausible garbage (codec.cdf_checksum)
+        from pcc_tpu.codec import cdf_checksum
+
+        cdf_q = rangecoder.quantize_cdf(take(cdf).astype(np.float64))
+        acdf_q = rangecoder.quantize_cdf(take(acdf).astype(np.float64))
+        p = rangecoder.encode_quantized_cdf(
+            cdf_q, take(res.sym).astype(np.int16)) + cdf_checksum(cdf_q)
+        a = rangecoder.encode_quantized_cdf(
+            acdf_q, take(res.asym).astype(np.int16)) + cdf_checksum(acdf_q)
         depth = int(take(res.depth))
         codes = take(res.sorted_codes).astype(np.int64) >> (
             3 * (cfg.max_depth - depth))
@@ -244,10 +251,21 @@ class AttrCodec:
         cdf_fn, dec_fn = self._dec(S)
         cdf, acdf = cdf_fn(self.params["prob"], self.params["attr_prob"],
                            jnp.asarray(rec[None]))
-        sym = rangecoder.decode_float_cdf(
-            np.asarray(cdf, np.float64)[0], p_bytes).astype(np.int32)
-        asym = rangecoder.decode_float_cdf(
-            np.asarray(acdf, np.float64)[0], a_bytes).astype(np.int32)
+        from pcc_tpu.codec import cdf_checksum
+
+        cdf_q = rangecoder.quantize_cdf(np.asarray(cdf, np.float64)[0])
+        acdf_q = rangecoder.quantize_cdf(np.asarray(acdf, np.float64)[0])
+        for blob, rows, name in ((p_bytes, cdf_q, ".p.bin"),
+                                 (a_bytes, acdf_q, ".a.bin")):
+            if blob[-4:] != cdf_checksum(rows):
+                raise ValueError(
+                    f"CDF checksum mismatch on {name}: stream encoded under"
+                    " a different compiled CDF program or checkpoint —"
+                    " decoding would desync the range coder.")
+        sym = rangecoder.decode_quantized_cdf(
+            cdf_q, p_bytes[:-4]).astype(np.int32)
+        asym = rangecoder.decode_quantized_cdf(
+            acdf_q, a_bytes[:-4]).astype(np.int32)
         header = np.frombuffer(c_bytes, dtype=np.float32)
         pc, rgb01 = dec_fn(
             self.params, jnp.asarray(sym[None]), jnp.asarray(asym[None]),

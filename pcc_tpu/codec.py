@@ -198,6 +198,23 @@ def skeleton_pmf_weights(iprob_bundle, rec_xyz, *, d=None, L=None):
                              d=d, L=L).astype(jnp.uint16)
 
 
+def cdf_checksum(cdf_rows: np.ndarray) -> bytes:
+    """4-byte little-endian checksum of quantized CDF rows.
+
+    Float-CDF streams (the PPPF family; cdf_mode='float') are decodable
+    only when the decoder's compiled CDF program reproduces the encoder's
+    quantized rows exactly — a ±1-bin drift across compilations desyncs
+    the range coder into plausible-looking garbage (parallel/mesh.py's
+    documented hazard; r2 advisor finding 4). The encoder appends this
+    checksum as a .p.bin trailer so a drifted decoder fails LOUDLY with a
+    clear error instead. Integer-mode streams don't carry it: their CDFs
+    are byte-deterministic by construction (coding/iprob.py)."""
+    import zlib
+
+    arr = np.ascontiguousarray(np.asarray(cdf_rows, np.int32))
+    return (zlib.crc32(arr.tobytes()) & 0xFFFFFFFF).to_bytes(4, "little")
+
+
 def _u8(x):
     """Bitcast any array to uint8 bytes, flattened per leading row:
     [B, ...] -> [B, nbytes]. Little-endian on both TPU and x86, so the
@@ -623,8 +640,13 @@ class Codec:
                 if self._integer_cdf and self._bounds:
                     p_bytes = rangecoder.encode_bounds(
                         p_args[0], p_args[1], (1 << 16) - 1)
-                else:
+                elif self._integer_cdf:
                     p_bytes = rangecoder.encode_quantized_cdf(*p_args)
+                else:
+                    # float-CDF streams carry a 4-byte CDF-checksum trailer
+                    # so cross-compilation drift fails loudly (cdf_checksum)
+                    p_bytes = rangecoder.encode_quantized_cdf(*p_args) \
+                        + cdf_checksum(p_args[0])
                 codes = codes64 >> (3 * (cfg.max_depth - depth))
                 if len(np.unique(codes)) != codes.shape[0]:
                     raise ValueError(
@@ -730,13 +752,28 @@ class Codec:
                 idx_p, recs, cdfs_dev = stage
                 (cdfs,) = _fetch_all(cdfs_dev)
                 cdfs = self._cdf_host(cdfs)
+
+                def decode_one(ji):
+                    j, i = ji
+                    p = streams[i][0]
+                    # verify the encoder's CDF-checksum trailer: a drifted
+                    # decoder-side CDF program must fail loudly, never
+                    # emit plausible garbage (see cdf_checksum)
+                    if p[-4:] != cdf_checksum(cdfs[j]):
+                        raise ValueError(
+                            "CDF checksum mismatch: this stream was encoded"
+                            " under a different compiled CDF program (or a"
+                            " different checkpoint) than this decoder's —"
+                            " decoding would desync the range coder. Re-"
+                            "encode with the current codec, or decode with"
+                            " the encoding build.")
+                    return rangecoder.decode_quantized_cdf(
+                        cdfs[j], p[:-4]).astype(np.int8)
+
                 # int8 upload: sym < L <= 128 (config.py bound), half the
                 # tunnel bytes of int16
                 syms = np.stack(list(self._pool.map(
-                    lambda ji: rangecoder.decode_quantized_cdf(
-                        cdfs[ji[0]], streams[ji[1]][0]).astype(np.int8),
-                    enumerate(idx_p),
-                )))
+                    decode_one, enumerate(idx_p))))
                 headers = np.stack([parsed[i][1] for i in idx_p])
                 return idx_p, headers, dec_fn(self.ae_params,
                                               jnp.asarray(syms), recs)

@@ -115,6 +115,22 @@ def test_pppf_latent_stream_exact(rng, pppf_codec):
     assert pppf_codec.compress(pc) == streams[0]
 
 
+def test_float_cdf_checksum_guard(rng, pppf_codec):
+    """Float-CDF streams (PPPF) carry a CDF-checksum trailer: decoding
+    under a different CDF program/checkpoint fails loudly instead of
+    range-decoding plausible garbage (r2 advisor finding 4)."""
+    pc = _cloud(rng, n=CFG_PPPF.N)
+    streams = pppf_codec.compress_many([pc])
+    # happy path: same codec decodes
+    out = pppf_codec.decompress_many(streams)
+    assert out[0].shape == (CFG_PPPF.S * CFG_PPPF.d ** 2, 3)
+    # different checkpoint -> different CDFs -> loud failure
+    ae2, prob2 = init_params(jax.random.key(99), CFG_PPPF)
+    other = Codec(CFG_PPPF, ae2, prob2)
+    with pytest.raises(ValueError, match="CDF checksum mismatch"):
+        other.decompress_many(streams)
+
+
 def test_packed_io_buffer_roundtrip(rng):
     """encode_clouds_packed_io's single uint8 buffer (one tunnel fetch per
     batch — see the codec docstring for the measured multi-fetch stalls)
