@@ -139,11 +139,17 @@ def bench_tpu():
 
 
 def bench_train_step():
-    """Train-step throughput, XLA vs fused-Pallas encoder (fwd + custom-VJP
-    bwd kernel, ops/sa_pallas.py) — VERDICT r2 item 2's measured number.
-    Emits one JSON line per variant to stderr."""
-    import dataclasses
+    """Train-step throughput, XLA vs fused-Pallas encoder. Emits one JSON
+    line per variant to stderr.
 
+    TIMING HONESTY: jax.block_until_ready is a NO-OP over the remote axon
+    tunnel — timing a dispatch loop against it measures the dispatch rate,
+    not compute (measured 66M "pts/s" vs the real 1.1M for identical
+    code). Completion is forced by fetching the final loss scalar: the
+    steps chain through the donated state, so forcing the last forces all.
+    The real number matches the train CLI's logged steps/s (~17 at batch 8,
+    GOLDEN.md). Fused-vs-XLA is ~parity here: the train step is
+    chamfer/KNN-bound at N=8192, not encoder-bound."""
     import jax
     import jax.numpy as jnp
 
@@ -163,11 +169,11 @@ def bench_train_step():
         batch = jnp.asarray(np.stack(synthetic_clouds(B, N=cfg.N, seed=2)))
         key = jax.random.key(0)
         state, aux = step(state, batch, key, 0.0)      # compile
-        jax.block_until_ready(aux["loss"])
+        float(np.asarray(aux["loss"]))
         t0 = time.perf_counter()
-        for _ in range(REPS):                          # async-pipelined
+        for _ in range(REPS):
             state, aux = step(state, batch, key, 0.0)
-        jax.block_until_ready(aux["loss"])
+        float(np.asarray(aux["loss"]))                 # forces the chain
         dt = time.perf_counter() - t0
         pts = B * cfg.N * REPS / dt
         results[fused] = pts
@@ -242,11 +248,11 @@ def bench_full_secondaries():
                 variables, lat, method=lambda m, z: m.decoder(z))
 
         out = roundtrip(batch)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(5):
+        float(np.asarray(out.ravel()[0]))   # block_until_ready is a no-op
+        t0 = time.perf_counter()            # over the axon tunnel; force by
+        for _ in range(5):                  # fetching one element
             out = roundtrip(batch)
-        jax.block_until_ready(out)
+        float(np.asarray(out.ravel()[0]))
         dt = time.perf_counter() - t0
         emit("PPPE encode+decode throughput (device programs), N8192",
              pcfg.N * B * 5 / dt)
