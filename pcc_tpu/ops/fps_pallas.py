@@ -40,7 +40,13 @@ def _fps_kernel(start_ref, xyz_ref, out_ref, npoint: int):
         diff = xyz - centroid
         d = jnp.sum(diff * diff, axis=0, keepdims=True)                # [1, N]
         distance = jnp.minimum(distance, d)
-        farthest = jnp.argmax(distance[0]).astype(jnp.int32)
+        # argmax over lanes as max + where + min: Mosaic's native arg-
+        # reduction lowering over the lane axis is an order of magnitude
+        # slower than this composition (see ops/sa_pallas._argmin_lanes);
+        # tie order matches jnp.argmax (lowest index among maxima)
+        m = jnp.max(distance)
+        farthest = jnp.min(
+            jnp.where(distance == m, lane_ids, n)).astype(jnp.int32)
         return distance, farthest
 
     init = (jnp.full((1, n), 1e10, dtype=jnp.float32),

