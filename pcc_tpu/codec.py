@@ -504,6 +504,17 @@ class Codec:
         # coder releases the GIL inside ctypes calls, so a thread pool
         # parallelizes it across clouds while the TPU runs the next batch
         self._pool = ThreadPoolExecutor(max_workers=host_threads)
+        # dedicated single-worker fetch thread: a device->host fetch of an
+        # already-computed buffer fully overlaps the NEXT batch's device
+        # compute over the axon tunnel when issued from another thread
+        # (measured: 3.2 MB fetch + 132 ms program = 130 ms overlapped vs
+        # 223 serial). One worker keeps fetches FIFO with dispatch order.
+        self._fetch_pool = ThreadPoolExecutor(max_workers=1)
+        # max batches in flight (dispatched, not yet collected). More than
+        # 2 puts several 4.2 MB uploads on the tunnel at once, which trips
+        # its concurrent-transfer stall pathology (seconds-long hangs —
+        # the same failure mode _fetch_all's packed-buffer note documents).
+        self._inflight = 2
 
     def _shard_map(self, fn, n_in_sharded, n_in_repl):
         """Wrap fn(*repl_args, *sharded_args) in shard_map over the cloud
@@ -662,16 +673,10 @@ class Codec:
                 header[3] = longest
                 return i, (p_bytes, s_bytes, header.tobytes())
 
-            packed = self._pool.submit(pack, batches[0])
-            if len(batches) > 1:
-                packed_next = self._pool.submit(pack, batches[1])
-            pending = dispatch(packed)
-            for b, batch_idx in enumerate(batches):
-                out = pending
-                if b + 1 < len(batches):
-                    pending = dispatch(packed_next)     # overlap device work
-                    if b + 2 < len(batches):
-                        packed_next = self._pool.submit(pack, batches[b + 2])
+            def finish_batch(batch_idx, out):
+                """Fetch one batch's packed buffer and serialize its clouds
+                (runs on the fetch worker: the blocking fetch of batch b
+                overlaps batch b+1's upload/compute on the main thread)."""
                 if self._integer_cdf and self._bounds:
                     (buf,) = _fetch_all(out)            # ONE tunnel fetch
                     (starts, sizes, depths, all_codes, centers,
@@ -704,6 +709,26 @@ class Codec:
                 for fut in futures:
                     i, blob = fut.result()
                     results[i] = blob
+
+            # software pipeline: pack (worker pool, 3 deep) -> async
+            # upload + dispatch (main thread) -> fetch + serialize (fetch
+            # worker). Steady state approaches max(stage) instead of the
+            # old dispatch-ahead-by-one loop's sum of fetch-visible costs.
+            packs = [self._pool.submit(pack, bi) for bi in batches[:3]]
+            fetch_futs = []
+            for b, batch_idx in enumerate(batches):
+                if b + 3 < len(batches):
+                    packs.append(self._pool.submit(pack, batches[b + 3]))
+                out = dispatch(packs[b])
+                packs[b] = None          # free the packed host arrays
+                if len(fetch_futs) >= self._inflight:
+                    # cap in-flight batches: bounds device buffers and keeps
+                    # concurrent tunnel uploads below the stall threshold
+                    fetch_futs[-self._inflight].result()
+                fetch_futs.append(
+                    self._fetch_pool.submit(finish_batch, batch_idx, out))
+            for f in fetch_futs:
+                f.result()
         return results
 
     # ------------------------------------------------------------- decode --
@@ -800,17 +825,22 @@ class Codec:
                 for j, i in enumerate(prev_idx):
                     results[i] = out[j]
 
+            # stages A+B run on the main thread (dispatch-ahead by one),
+            # stage C's blocking fetch moves to the fetch worker so it
+            # overlaps the next batch's device decode (see _fetch_pool)
+            fetch_futs = []
             pending_cdf = dispatch_cdf(batches[0])
-            pending_dec = None
             for b, batch_idx in enumerate(batches):
                 stage = pending_cdf
                 if b + 1 < len(batches):
                     pending_cdf = dispatch_cdf(batches[b + 1])
                 dec_out = dispatch_dec(stage)
-                if pending_dec is not None:
-                    collect(pending_dec)
-                pending_dec = (batch_idx, dec_out)
-            collect(pending_dec)
+                if len(fetch_futs) >= self._inflight:
+                    fetch_futs[-self._inflight].result()
+                fetch_futs.append(
+                    self._fetch_pool.submit(collect, (batch_idx, dec_out)))
+            for f in fetch_futs:
+                f.result()
         return results
 
     def _fused_decode_fn(self, S: int, plen: int):
@@ -831,9 +861,10 @@ class Codec:
         return self._decode_cache[key]
 
     def _decompress_fused(self, streams, parsed, S, idxs, results):
-        """Integer-mode decompress: one dispatch + one fetch per batch,
-        pipelined one batch ahead (upload/compute of batch i+1 overlaps the
-        fetch/depack of batch i)."""
+        """Integer-mode decompress: one dispatch + one fetch per batch;
+        dispatches run ahead on the main thread while the fetch worker
+        drains results, so each batch's fetch overlaps the next batch's
+        device compute."""
         batches = [
             idxs[lo : lo + self.batch_size]
             for lo in range(0, len(idxs), self.batch_size)
@@ -868,9 +899,16 @@ class Codec:
             for j, i in enumerate(prev_idx):
                 results[i] = out[j]
 
-        pending = (batches[0], dispatch(batches[0]))
+        # dispatch on the main thread, collect on the fetch worker: the
+        # 3.2 MB decoded-offsets fetch of batch b then overlaps batch
+        # b+1's device range-decode + decoder network (measured full
+        # overlap over the tunnel; see __init__._fetch_pool)
+        fetch_futs = []
         for b, batch_idx in enumerate(batches):
-            prev = pending
-            if b + 1 < len(batches):
-                pending = (batches[b + 1], dispatch(batches[b + 1]))
-            collect(prev)
+            out = dispatch(batch_idx)
+            if len(fetch_futs) >= self._inflight:
+                fetch_futs[-self._inflight].result()
+            fetch_futs.append(
+                self._fetch_pool.submit(collect, (batch_idx, out)))
+        for f in fetch_futs:
+            f.result()

@@ -16,8 +16,11 @@ def rate_distortion_loss(
     """chamfer(pred, target) + lam * fbpp.
 
     Returns (loss, aux dict) so callers can log the distortion/rate split.
+    The chamfer neighbor SEARCH runs in the fast MXU expansion form — the
+    loss value is still the exactly-recomputed gathered distance
+    (ops/chamfer.py::chamfer_distance, fast_search).
     """
-    d, _ = chamfer_distance(pc_pred, pc_target)
+    d, _ = chamfer_distance(pc_pred, pc_target, fast_search=True)
     rate = jnp.mean(fbpp)
     loss = d + lam * rate
     return loss, {"chamfer": d, "fbpp": rate}

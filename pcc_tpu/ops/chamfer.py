@@ -105,30 +105,79 @@ def _nn_small(x: jnp.ndarray, y: jnp.ndarray, chunk: int):
     return best_d, best_i
 
 
-def _directed_mean_sq(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def _nn_expansion(x: jnp.ndarray, y: jnp.ndarray, chunk: int = _CHUNK):
+    """1-NN index search via the q2 - 2q·p + p2 expansion.
+
+    The cross term is one MXU matmul per chunk instead of the direct-
+    difference VPU pass — several times faster at N=8192. Selection-only
+    precision: the expansion loses ~1e-6 relative accuracy, so a near-tie
+    can resolve to a different (equidistant to float error) neighbor than
+    the exact search. Safe where the chosen distance is recomputed exactly
+    afterwards (the training loss); wrong for metrics, where an identical
+    cloud's nearest neighbor must be itself at exactly 0 (nearest_neighbor).
+    Returns idx [S] int32.
+    """
+    x2 = jnp.sum(x * x, axis=-1)                          # [S]
+    y_chunks, valid = _pad_chunks(y, chunk)
+
+    def body(carry, args):
+        best_d, best_i = carry
+        c, y_c, v_c = args
+        d = (x2[:, None] - 2.0 * (x @ y_c.T)
+             + jnp.sum(y_c * y_c, axis=-1)[None, :])
+        d = jnp.where(v_c[None, :], d, jnp.inf)
+        d_min = jnp.min(d, axis=-1)
+        i_min = jnp.argmin(d, axis=-1).astype(jnp.int32) + c * chunk
+        take = d_min < best_d
+        return (jnp.where(take, d_min, best_d),
+                jnp.where(take, i_min, best_i)), None
+
+    init = (jnp.full((x.shape[0],), jnp.inf, dtype=x.dtype),
+            jnp.zeros((x.shape[0],), jnp.int32))
+    (_, best_i), _ = jax.lax.scan(
+        body, init, (jnp.arange(y_chunks.shape[0]), y_chunks, valid))
+    return best_i
+
+
+def _directed_mean_sq(x: jnp.ndarray, y: jnp.ndarray,
+                      fast_search: bool = False) -> jnp.ndarray:
     """mean_i min_j |x_i - y_j|^2, differentiable w.r.t. both clouds.
 
     The argmin search runs under stop_gradient (forward-only scan, no
     per-chunk residuals saved for the backward pass — the naive version
     OOMs at N=8192 batches), then the distance is recomputed through a
     gather: d(min)/dx equals the gradient at the argmin, so this is exact.
+    fast_search routes the argmin through the MXU expansion form
+    (_nn_expansion) — the recomputed loss stays exact either way.
     """
-    _, idx = nearest_neighbor(jax.lax.stop_gradient(x),
-                              jax.lax.stop_gradient(y))
+    if fast_search:
+        idx = _nn_expansion(jax.lax.stop_gradient(x),
+                            jax.lax.stop_gradient(y))
+    else:
+        _, idx = nearest_neighbor(jax.lax.stop_gradient(x),
+                                  jax.lax.stop_gradient(y))
     y_near = y[idx]
     return jnp.mean(jnp.sum((x - y_near) ** 2, axis=-1))
 
 
-def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray):
+def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray,
+                     fast_search: bool = False):
     """Symmetric chamfer distance with pytorch3d semantics.
 
     mean-over-points of min squared distance in each direction, summed, then
     averaged over the batch. Returns (loss, None) to match the
     `chamfer_distance(pred, target)` tuple the reference unpacks (AE.py:67).
 
+    fast_search=True uses the MXU expansion form for the neighbor SEARCH
+    (the loss itself is still the exactly-recomputed gathered distance);
+    the training steps enable it — near-tie neighbor picks may differ from
+    the exact search by a same-distance-to-float-error point, which leaves
+    the loss value equal to ~1e-6 and the gradient equal except at
+    measure-zero ties. Leave False for metrics/identity contracts.
+
     Args:
       x: [B, S, 3]; y: [B, N, 3].
     """
-    d_xy = jax.vmap(_directed_mean_sq)(x, y)   # [B]
-    d_yx = jax.vmap(_directed_mean_sq)(y, x)   # [B]
+    d_xy = jax.vmap(lambda a, b: _directed_mean_sq(a, b, fast_search))(x, y)
+    d_yx = jax.vmap(lambda a, b: _directed_mean_sq(a, b, fast_search))(y, x)
     return jnp.mean(d_xy + d_yx), None

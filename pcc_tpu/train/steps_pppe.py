@@ -96,7 +96,9 @@ def pppe_forward(params, batch_stats, batch, lam_eff, *, cfg: PPPEConfig,
         {"params": params["ae"], "batch_stats": mut["batch_stats"]},
         model, y_q, cond_feats)
 
-    dist, _ = chamfer_distance(fine, batch)
+    # fast MXU-expansion neighbor search; loss recomputed exactly through
+    # the gather (ops/chamfer.py::chamfer_distance, fast_search)
+    dist, _ = chamfer_distance(fine, batch, fast_search=True)
     rate = jnp.clip(fbpp, 0.0, max_rate)
     loss = dist + lam_eff * rate
     aux = {"dist": dist, "rate": rate}

@@ -97,6 +97,29 @@ def test_chamfer_matches_bruteforce(rng):
     np.testing.assert_allclose(float(loss), ref, rtol=1e-5)
 
 
+def test_chamfer_fast_search_matches_exact(rng):
+    """fast_search routes the argmin through the MXU expansion form but
+    recomputes the loss exactly through the gather — values must agree to
+    float error, including gradients, across the chunk boundary (train
+    steps use fast_search=True, models/losses.py)."""
+    import jax
+
+    x = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    y = rng.standard_normal((2, 4096, 3)).astype(np.float32) * 2
+    exact, _ = chamfer_distance(jnp.asarray(x), jnp.asarray(y))
+    fast, _ = chamfer_distance(jnp.asarray(x), jnp.asarray(y),
+                               fast_search=True)
+    np.testing.assert_allclose(float(fast), float(exact), rtol=1e-6)
+
+    g_exact = jax.grad(
+        lambda a: chamfer_distance(a, jnp.asarray(y))[0])(jnp.asarray(x))
+    g_fast = jax.grad(
+        lambda a: chamfer_distance(a, jnp.asarray(y),
+                                   fast_search=True)[0])(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact),
+                               atol=1e-6)
+
+
 def test_min_sq_dists_chunked_equals_direct(rng):
     x = rng.standard_normal((16, 3)).astype(np.float32)
     y = rng.standard_normal((4096, 3)).astype(np.float32)
