@@ -440,9 +440,10 @@ def profile_breakdown():
 
     def run_enc():
         # integer cdf_mode (the default): single-buffer program with the
-        # coding weights inside (codec.encode_clouds_packed_io)
-        return enc(codec.ae_params, codec.prob_params, q_d, lo_d, sc_d,
-                   starts)
+        # per-symbol coding intervals inside (encode_clouds_packed_bounds);
+        # the iprob bundle rides as an explicit argument (see _encode_fn)
+        return enc(codec.ae_params, codec.prob_params, codec._iprob,
+                   q_d, lo_d, sc_d, starts)
 
     # warmup/compile
     buf = run_enc()

@@ -141,10 +141,15 @@ def sa_fused(patches: jnp.ndarray, weights, biases, *, knn: int = 16,
 
 def _encoder_kernel(pts_ref, sw1, sb1, sw2, sb2, sw3, sb3,
                     pw1, pb1, pw2, pb2, pw3, pb3, pw4, pb4,
-                    out_ref, *, knn: int, compute_dtype):
+                    out_ref, *, knn: int, compute_dtype, slot_group: int = 1):
     """Whole patch-encoder: SA (KNN+MLP+max) -> concat xyz -> PointNet
     (pointwise MLP, relu T,T,T,F) -> max over points. pts: [BP, N, 3];
-    out: [BP, D]."""
+    out: [BP, D].
+
+    slot_group > 1 batches that many KNN slots' gathers + SA MLP into one
+    matmul set ([BP, g*N, N] stacked one-hot, MLP on BP*g*N rows): same
+    math row-for-row (matmul rows are independent; max is associative), so
+    output stays bit-identical, but the MXU sees 1/g as many dispatches."""
     pts = pts_ref[...]
     BP, N, _ = pts.shape
 
@@ -174,18 +179,26 @@ def _encoder_kernel(pts_ref, sw1, sb1, sw2, sb2, sw3, sb3,
 
     # unrolled slot loop + composition argmin: 217 -> 68 ms per
     # 8192-patch batch on v5e, bit-identical (see _argmin_lanes)
+    g = slot_group
     feats = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
-    for _ in range(knn):
-        idx = _argmin_lanes(d2, iota, N)
-        onehot = (iota == idx[:, :, None]).astype(jnp.float32)
+    for _ in range(knn // g):
+        # selection stays sequential (each pick masks the next), but the
+        # g gathers and the SA MLP batch into one matmul set per group
+        ohs = []
+        for _ in range(g):
+            idx = _argmin_lanes(d2, iota, N)
+            oh = (iota == idx[:, :, None]).astype(jnp.float32)
+            d2 = jnp.where(oh != 0.0, jnp.inf, d2)
+            ohs.append(oh)
+        oh_g = ohs[0] if g == 1 else jnp.concatenate(ohs, axis=1)
         nb = jax.lax.dot_general(
-            onehot, pts, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        d2 = jnp.where(onehot != 0.0, jnp.inf, d2)
-        h = (nb - pts).reshape(BP * N, 3)
+            oh_g, pts, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [BP, g*N, 3]
+        h = (nb.reshape(BP, g, N, 3) - pts[:, None]).reshape(BP * g * N, 3)
         for w, b in zip(sa_w, sa_b):
             h = dense(h, w, b)
-        feats = jnp.maximum(feats, h.astype(jnp.float32))
+        hg = h.astype(jnp.float32).reshape(BP, g, N, F3)
+        feats = jnp.maximum(feats, jnp.max(hg, axis=1).reshape(BP * N, F3))
 
     # concat(xyz, SA feats) then the PointNet trunk (AE.py:34-41 stack);
     # the SA max ran in f32 over compute-dtype values, so feats == the XLA
@@ -202,6 +215,7 @@ def _encoder_kernel(pts_ref, sw1, sb1, sw2, sb2, sw3, sb3,
 
 def patch_encoder_fused(patches: jnp.ndarray, sa_wb, pn_wb, *, knn: int = 16,
                         compute_dtype=None, block_p: int = 8,
+                        slot_group: int = 1,
                         interpret: bool = False) -> jnp.ndarray:
     # NOTE: Mosaic requires the output block's second-to-last dim divisible
     # by 8 — keep block_p a multiple of 8 on TPU (the [block_p, D] block).
@@ -214,6 +228,8 @@ def patch_encoder_fused(patches: jnp.ndarray, sa_wb, pn_wb, *, knn: int = 16,
     spread stays outside (exact f32, models/ipdae.py:56-63)."""
     P, N, _ = patches.shape
     D = pn_wb[-1][0].shape[-1]
+    if knn % slot_group:
+        raise ValueError(f"slot_group {slot_group} must divide knn {knn}")
 
     pad = (-P) % block_p
     if pad:
@@ -229,11 +245,15 @@ def patch_encoder_fused(patches: jnp.ndarray, sa_wb, pn_wb, *, knn: int = 16,
         specs += [full(w), full(b)]
     out = pl.pallas_call(
         functools.partial(_encoder_kernel, knn=knn,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype,
+                          slot_group=slot_group),
         grid=(Pp // block_p,),
         in_specs=specs,
         out_specs=pl.BlockSpec((block_p, D), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Pp, D), jnp.float32),
+        # v5e has 128 MB VMEM/core; the default 16 MB scoped limit caps
+        # block_p at 8 — raise it so larger blocks (fewer grid steps) fit
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(patches.astype(jnp.float32), *args)
     return out[:P]
@@ -300,8 +320,8 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
     # ---- recompute the forward: KNN selection + SA max (winner slots) ----
     # VMEM discipline (the 16 MB/core budget binds at block 8): the iota is
     # a broadcastable [1, 1, N] row instead of a materialized [BP, N, N]
-    # cube, and the distance matrix is (re)computed fresh for each of the
-    # two selection loops below so only one copy is ever live.
+    # cube; the distance matrix is computed once and only the per-slot
+    # winner indices survive it (the backward loop reuses those).
     def fresh_d2():
         sq = jnp.sum(pts * pts, axis=-1)
         cross = jax.lax.dot_general(
@@ -321,24 +341,28 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
         h = dense_fwd(a2, sa_w[2], sa_b[2])
         return inp, a1, a2, h.astype(jnp.float32)
 
-    def sel_body(s, carry):
-        d2, acc, best = carry
+    # statically unrolled selection (knn is a python int), storing each
+    # slot's winner indices AND its SA activations (inp f32 + a1/a2 in the
+    # compute dtype: ~3-6 MB total at block 4): the SA backward loop below
+    # then does NO forward recomputation at all — no second distance
+    # matrix, no argmin re-derivation, no gather matmul, no dense replay.
+    # (A dynamic slot-major STORE would need the dynamic_update_slice
+    # Mosaic lacks, but a static python-list append compiles fine.)
+    feats = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
+    best = jnp.zeros((BP * N, F3), jnp.int32)
+    idx_slots, inp_slots, a1_slots, a2_slots = [], [], [], []
+    d2 = fresh_d2()
+    for s in range(knn):
         idx = _argmin_lanes(d2, iota, N)                 # [BP, N]
+        idx_slots.append(idx)
         onehot = (iota == idx[:, :, None]).astype(jnp.float32)
         d2 = jnp.where(onehot != 0.0, jnp.inf, d2)
-        _, _, _, h = slot_fwd(onehot)
-        best = jnp.where(h > acc, s, best)
-        acc = jnp.maximum(acc, h)
-        return d2, acc, best
-
-    # the KNN indices are NOT stored: Mosaic has no dynamic_update_slice
-    # lowering for a slot-major store, and the selection sequence is
-    # deterministic anyway — the SA backward loop below re-derives it by
-    # carrying its own copy of the masked distance matrix from the same d2
-    acc0 = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
-    best0 = jnp.zeros((BP * N, F3), jnp.int32)
-    _, feats, best = jax.lax.fori_loop(
-        0, knn, sel_body, (fresh_d2(), acc0, best0))
+        inp, a1, a2, h = slot_fwd(onehot)
+        inp_slots.append(inp)
+        a1_slots.append(a1)
+        a2_slots.append(a2)
+        best = jnp.where(h > feats, s, best)
+        feats = jnp.maximum(feats, h)
 
     # ---- PointNet forward with stored activations ----
     x0 = jnp.concatenate(
@@ -385,17 +409,17 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
     dpts = dx0[:, :3].reshape(BP, N, 3)
     dfeats = dx0[:, 3:]                                  # [BP*N, F3]
 
-    # ---- SA backward per slot: re-derive the selection (argmin over the
-    # same masked-distance sequence as the forward — deterministic), then
-    # recompute that slot's activations and backprop through them ----
-    def sa_bwd_body(s, carry):
-        d2b, dpts = carry
-        idx_s = _argmin_lanes(d2b, iota, N)              # [BP, N]
-        onehot = (iota == idx_s[:, :, None]).astype(jnp.float32)
-        d2b = jnp.where(onehot != 0.0, jnp.inf, d2b)
-        inp, a1, a2, h = slot_fwd(onehot)
-        dh = jnp.where(best == s, dfeats, 0.0)
-        dz3s = dh * (h > 0.0)                            # final relu
+    # ---- SA backward per slot: rebuild each slot's one-hot from the
+    # stored selection indices and backprop through its STORED
+    # activations. The layer-3 relu mask needs no recomputed h: at the
+    # positions where best == s the max equals that slot's h elementwise
+    # (feats == h_s there), so dh * (h > 0) == where(best==s & feats>0,
+    # dfeats, 0) bitwise — the winner's pre-mask value IS the pooled max,
+    # and losing positions have dh == 0 regardless of their mask ----
+    def sa_bwd_slot(s, dpts):
+        onehot = (iota == idx_slots[s][:, :, None]).astype(jnp.float32)
+        inp, a1, a2 = inp_slots[s], a1_slots[s], a2_slots[s]
+        dz3s = jnp.where((best == s) & (feats > 0.0), dfeats, 0.0)
         dsw3_r[...] += jax.lax.dot_general(
             a2.astype(jnp.float32), dz3s, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -415,9 +439,10 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
         dscat = jax.lax.dot_general(
             onehot, dinp, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        return d2b, dpts + dscat - dinp
+        return dpts + dscat - dinp
 
-    _, dpts = jax.lax.fori_loop(0, knn, sa_bwd_body, (fresh_d2(), dpts))
+    for s in range(knn):
+        dpts = sa_bwd_slot(s, dpts)
     dpts_ref[...] = dpts
 
 
@@ -465,6 +490,11 @@ def _encoder_bwd_flat(patches, g, sa_wb, pn_wb, *, knn, compute_dtype,
         + [acc_spec(a) for a in args],
         out_shape=[jax.ShapeDtypeStruct((Pp, N, 3), jnp.float32)]
         + grad_shapes,
+        # the stored-activation backward keeps all knn slots' inp/a1/a2
+        # resident (Mosaic lane-pads the narrow per-slot arrays to 128, so
+        # the allocator sees ~49 MB at block 4); v5e has 128 MB VMEM per
+        # core — raise the scoped limit past the 16 MB default
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(patches.astype(jnp.float32), g3, *args)
     dpatches, grads = out[0][:P], out[1:]
