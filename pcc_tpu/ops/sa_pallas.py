@@ -215,7 +215,7 @@ def _encoder_kernel(pts_ref, sw1, sb1, sw2, sb2, sw3, sb3,
 
 def patch_encoder_fused(patches: jnp.ndarray, sa_wb, pn_wb, *, knn: int = 16,
                         compute_dtype=None, block_p: int = 8,
-                        slot_group: int = 1,
+                        slot_group: int | None = None,
                         interpret: bool = False) -> jnp.ndarray:
     # NOTE: Mosaic requires the output block's second-to-last dim divisible
     # by 8 — keep block_p a multiple of 8 on TPU (the [block_p, D] block).
@@ -228,6 +228,10 @@ def patch_encoder_fused(patches: jnp.ndarray, sa_wb, pn_wb, *, knn: int = 16,
     spread stays outside (exact f32, models/ipdae.py:56-63)."""
     P, N, _ = patches.shape
     D = pn_wb[-1][0].shape[-1]
+    if slot_group is None:
+        # v5e sweep at P=8192, N=256, knn=16 (bf16): g=4 is the sweet spot
+        # (48.9 ms vs 56.7 at g=1); g=8/16 regress on VMEM pressure
+        slot_group = 4 if knn % 4 == 0 else (2 if knn % 2 == 0 else 1)
     if knn % slot_group:
         raise ValueError(f"slot_group {slot_group} must divide knn {knn}")
 
@@ -286,7 +290,7 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
                         dpts_ref, dsw1_r, dsb1_r, dsw2_r, dsb2_r,
                         dsw3_r, dsb3_r, dpw1_r, dpb1_r, dpw2_r, dpb2_r,
                         dpw3_r, dpb3_r, dpw4_r, dpb4_r,
-                        *, knn: int, compute_dtype):
+                        *, knn: int, compute_dtype, slot_group: int = 1):
     """Recompute-and-backprop for one patch block. pts: [BP, N, 3];
     g: [1, BP, D] cotangent (leading singleton: the [BP, D] block would
     violate Mosaic's (8, 128) divisibility rule for BP < 8, while a
@@ -331,38 +335,48 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, N), 2)
 
-    def slot_fwd(onehot):
-        nb = jax.lax.dot_general(
-            onehot, pts, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        inp = (nb - pts).reshape(BP * N, 3)
-        a1 = dense_fwd(inp, sa_w[0], sa_b[0])
-        a2 = dense_fwd(a1, sa_w[1], sa_b[1])
-        h = dense_fwd(a2, sa_w[2], sa_b[2])
-        return inp, a1, a2, h.astype(jnp.float32)
-
     # statically unrolled selection (knn is a python int), storing each
     # slot's winner indices AND its SA activations (inp f32 + a1/a2 in the
-    # compute dtype: ~3-6 MB total at block 4): the SA backward loop below
-    # then does NO forward recomputation at all — no second distance
-    # matrix, no argmin re-derivation, no gather matmul, no dense replay.
-    # (A dynamic slot-major STORE would need the dynamic_update_slice
-    # Mosaic lacks, but a static python-list append compiles fine.)
+    # compute dtype): the SA backward loop below then does NO forward
+    # recomputation at all — no second distance matrix, no argmin
+    # re-derivation, no gather matmul, no dense replay. (A dynamic
+    # slot-major STORE would need the dynamic_update_slice Mosaic lacks,
+    # but a static python-list append compiles fine — the stored arrays
+    # lane-pad to 128, hence the raised vmem_limit in _encoder_bwd_flat.)
+    # Slots process in groups of `sg` (as in _encoder_kernel): the g
+    # gathers + SA MLP batch into one matmul set; best/feats routing uses
+    # first-wins-within-group, which matches the sequential update exactly
+    # (the sequential winner is the first index achieving the group max).
+    sg = slot_group
     feats = jnp.full((BP * N, F3), -jnp.inf, jnp.float32)
     best = jnp.zeros((BP * N, F3), jnp.int32)
-    idx_slots, inp_slots, a1_slots, a2_slots = [], [], [], []
+    idx_slots, grp_acts = [], []
     d2 = fresh_d2()
-    for s in range(knn):
-        idx = _argmin_lanes(d2, iota, N)                 # [BP, N]
-        idx_slots.append(idx)
-        onehot = (iota == idx[:, :, None]).astype(jnp.float32)
-        d2 = jnp.where(onehot != 0.0, jnp.inf, d2)
-        inp, a1, a2, h = slot_fwd(onehot)
-        inp_slots.append(inp)
-        a1_slots.append(a1)
-        a2_slots.append(a2)
-        best = jnp.where(h > feats, s, best)
-        feats = jnp.maximum(feats, h)
+    for g0 in range(0, knn, sg):
+        ohs = []
+        for _ in range(sg):
+            idx = _argmin_lanes(d2, iota, N)             # [BP, N]
+            idx_slots.append(idx)
+            oh = (iota == idx[:, :, None]).astype(jnp.float32)
+            d2 = jnp.where(oh != 0.0, jnp.inf, d2)
+            ohs.append(oh)
+        oh_g = ohs[0] if sg == 1 else jnp.concatenate(ohs, axis=1)
+        nb = jax.lax.dot_general(
+            oh_g, pts, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [BP, sg*N, 3]
+        inp = (nb.reshape(BP, sg, N, 3) - pts[:, None]).reshape(
+            BP * sg * N, 3)
+        a1 = dense_fwd(inp, sa_w[0], sa_b[0])
+        a2 = dense_fwd(a1, sa_w[1], sa_b[1])
+        h = dense_fwd(a2, sa_w[2], sa_b[2]).astype(jnp.float32)
+        grp_acts.append((inp, a1, a2))
+        hg = h.reshape(BP, sg, N, F3)
+        gm = jnp.max(hg, axis=1).reshape(BP * N, F3)     # group max
+        slot_io = jax.lax.broadcasted_iota(jnp.int32, (1, sg, 1, 1), 1)
+        gi = jnp.min(jnp.where(hg == gm.reshape(BP, 1, N, F3),
+                               slot_io, sg), axis=1).reshape(BP * N, F3)
+        best = jnp.where(gm > feats, g0 + gi, best)
+        feats = jnp.maximum(feats, gm)
 
     # ---- PointNet forward with stored activations ----
     x0 = jnp.concatenate(
@@ -409,22 +423,31 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
     dpts = dx0[:, :3].reshape(BP, N, 3)
     dfeats = dx0[:, 3:]                                  # [BP*N, F3]
 
-    # ---- SA backward per slot: rebuild each slot's one-hot from the
-    # stored selection indices and backprop through its STORED
-    # activations. The layer-3 relu mask needs no recomputed h: at the
-    # positions where best == s the max equals that slot's h elementwise
-    # (feats == h_s there), so dh * (h > 0) == where(best==s & feats>0,
-    # dfeats, 0) bitwise — the winner's pre-mask value IS the pooled max,
-    # and losing positions have dh == 0 regardless of their mask ----
-    def sa_bwd_slot(s, dpts):
-        onehot = (iota == idx_slots[s][:, :, None]).astype(jnp.float32)
-        inp, a1, a2 = inp_slots[s], a1_slots[s], a2_slots[s]
-        dz3s = jnp.where((best == s) & (feats > 0.0), dfeats, 0.0)
+    # ---- SA backward per slot group: rebuild the group's stacked one-hot
+    # from the stored selection indices and backprop through its STORED
+    # activations as one matmul set. The layer-3 relu mask needs no
+    # recomputed h: at the positions where best == s the max equals that
+    # slot's h elementwise (feats == h_s there), so dh * (h > 0) ==
+    # where(best==s & feats>0, dfeats, 0) bitwise — the winner's pre-mask
+    # value IS the pooled max, and losing positions have dh == 0
+    # regardless of their mask ----
+    bestr = best.reshape(BP, 1, N, F3)
+    live = (feats > 0.0).reshape(BP, 1, N, F3)
+    dfeatsr = dfeats.reshape(BP, 1, N, F3)
+    for gidx, g0 in enumerate(range(0, knn, sg)):
+        ohs = [(iota == idx_slots[g0 + j][:, :, None]).astype(jnp.float32)
+               for j in range(sg)]
+        oh_g = ohs[0] if sg == 1 else jnp.concatenate(ohs, axis=1)
+        inp, a1, a2 = grp_acts[gidx]                     # [BP*sg*N, ch]
+        slot_io = jax.lax.broadcasted_iota(
+            jnp.int32, (1, sg, 1, 1), 1) + g0
+        dz3g = jnp.where((bestr == slot_io) & live, dfeatsr,
+                         0.0).reshape(BP * sg * N, F3)
         dsw3_r[...] += jax.lax.dot_general(
-            a2.astype(jnp.float32), dz3s, (((0,), (0,)), ((), ())),
+            a2.astype(jnp.float32), dz3g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dsb3_r[...] += jnp.sum(dz3s, axis=0)
-        da2 = matmul(dz3s, sa_w[2].T) * (a2.astype(jnp.float32) > 0.0)
+        dsb3_r[...] += jnp.sum(dz3g, axis=0)
+        da2 = matmul(dz3g, sa_w[2].T) * (a2.astype(jnp.float32) > 0.0)
         dsw2_r[...] += jax.lax.dot_general(
             a1.astype(jnp.float32), da2, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -434,15 +457,14 @@ def _encoder_bwd_kernel(pts_ref, g_ref, sw1, sb1, sw2, sb2, sw3, sb3,
             inp.astype(jnp.float32), da1, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dsb1_r[...] += jnp.sum(da1, axis=0)
-        dinp = matmul(da1, sa_w[0].T).reshape(BP, N, 3)  # d(nb - pts)
-        # nb gather transposes to a scatter-add: d_pts[j] += sum_i 1[idx_i=j] dinp_i
+        dinp = matmul(da1, sa_w[0].T).reshape(BP, sg * N, 3)  # d(nb - pts)
+        # nb gather transposes to a scatter-add:
+        # d_pts[j] += sum_{s,i} 1[idx_{s,i}=j] dinp_{s,i}
         dscat = jax.lax.dot_general(
-            onehot, dinp, (((1,), (1,)), ((0,), (0,))),
+            oh_g, dinp, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        return dpts + dscat - dinp
-
-    for s in range(knn):
-        dpts = sa_bwd_slot(s, dpts)
+        dpts = dpts + dscat - jnp.sum(
+            dinp.reshape(BP, sg, N, 3), axis=1)
     dpts_ref[...] = dpts
 
 
@@ -454,9 +476,11 @@ def _encoder_fwd_flat(patches, sa_wb, pn_wb, *, knn, compute_dtype,
 
 
 def _encoder_bwd_flat(patches, g, sa_wb, pn_wb, *, knn, compute_dtype,
-                      block_p, interpret):
+                      block_p, interpret, slot_group=None):
     """Run the backward kernel over the flat patch batch. Returns
     (dpatches, dsa_wb, dpn_wb)."""
+    if slot_group is None:
+        slot_group = 4 if knn % 4 == 0 else (2 if knn % 2 == 0 else 1)
     P, N, _ = patches.shape
     pad = (-P) % block_p
     if pad:
@@ -479,7 +503,8 @@ def _encoder_bwd_flat(patches, g, sa_wb, pn_wb, *, knn, compute_dtype,
     g3 = g.astype(jnp.float32).reshape(Pp // block_p, block_p, D)
     out = pl.pallas_call(
         functools.partial(_encoder_bwd_kernel, knn=knn,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype,
+                          slot_group=slot_group),
         grid=(Pp // block_p,),
         in_specs=[
             pl.BlockSpec((block_p, N, 3), lambda i: (i, 0, 0)),

@@ -211,3 +211,29 @@ def test_patch_encoder_fused_matches_xla(rng):
     from pcc_tpu.models.layers import sigmoid_spread
     out = np.asarray(sigmoid_spread(lat, 7))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("g", [2, 4, 8])
+def test_patch_encoder_slot_group_bit_identical(rng, g):
+    """slot_group batches g KNN slots' gathers + SA MLP into one matmul
+    set; matmul rows are independent and max is associative, so the output
+    must be BIT-identical to the ungrouped kernel (both dtypes)."""
+    from pcc_tpu.ops.sa_pallas import patch_encoder_fused
+
+    x = jnp.asarray(rng.random((6, 32, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 16)
+    dims_sa = [(3, 32), (32, 64), (64, 128)]
+    dims_pn = [(131, 128), (128, 128), (128, 256), (256, 16)]
+    sa_wb = [(jax.random.normal(ks[i], s) / np.sqrt(s[0]), jnp.zeros(s[1]))
+             for i, s in enumerate(dims_sa)]
+    pn_wb = [(jax.random.normal(ks[4 + i], s) / np.sqrt(s[0]),
+              jnp.zeros(s[1])) for i, s in enumerate(dims_pn)]
+    for dt in (None, jnp.bfloat16):
+        ref = np.asarray(patch_encoder_fused(
+            x, sa_wb, pn_wb, knn=8, block_p=4, compute_dtype=dt,
+            interpret=True))
+        out = np.asarray(patch_encoder_fused(
+            x, sa_wb, pn_wb, knn=8, block_p=4, compute_dtype=dt,
+            slot_group=g, interpret=True))
+        assert np.array_equal(ref, out)
