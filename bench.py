@@ -429,9 +429,9 @@ def profile_breakdown():
     ae_params, prob_params = init_params_cpu(11, cfg)
     codec = Codec(cfg, ae_params, prob_params, batch_size=BATCH)
     clouds = synthetic_clouds(BATCH)
-    from pcc_tpu.codec import pack_clouds_u10
-    qh, loh, sch = pack_clouds_u10(np.stack(clouds))
-    q_d, lo_d, sc_d = jnp.asarray(qh), jnp.asarray(loh), jnp.asarray(sch)
+    from pcc_tpu.codec import pack_encode_upload
+    packed_d = jnp.asarray(pack_encode_upload(
+        np.stack(clouds), np.zeros((BATCH,), np.int32)))
     pcs = jnp.asarray(np.stack(clouds))
     starts = jnp.zeros((BATCH,), jnp.int32)
 
@@ -441,9 +441,10 @@ def profile_breakdown():
     def run_enc():
         # integer cdf_mode (the default): single-buffer program with the
         # per-symbol coding intervals inside (encode_clouds_packed_bounds);
-        # the iprob bundle rides as an explicit argument (see _encode_fn)
+        # the iprob bundle rides as an explicit argument, the whole input
+        # batch as ONE u32 buffer (see _encode_fn / pack_encode_upload)
         return enc(codec.ae_params, codec.prob_params, codec._iprob,
-                   q_d, lo_d, sc_d, starts)
+                   packed_d)
 
     # warmup/compile
     buf = run_enc()
@@ -475,7 +476,9 @@ def profile_breakdown():
                        run_enc)
     from pcc_tpu.codec import unpack_encode_bounds_buffer
     from pcc_tpu.coding.octree_host import codes_to_points as _c2p
-    (starts, sizes, depths, codes,
+    # NB: keep the name distinct from the FPS `starts` above — the stage
+    # split below reuses that array
+    (_iv_starts, sizes, depths, codes,
      centers, longests) = unpack_encode_bounds_buffer(np.asarray(buf),
                                                       cfg=cfg)
     recs_d = jnp.asarray(np.stack([
@@ -557,7 +560,7 @@ def profile_breakdown():
 
     t0 = time.perf_counter()
     for j in range(BATCH):
-        rangecoder.encode_bounds(starts[j], sizes[j], (1 << 16) - 1)
+        rangecoder.encode_bounds(_iv_starts[j], sizes[j], (1 << 16) - 1)
     t_rc = time.perf_counter() - t0
     print(f"host range coder (serial, interval path): {t_rc*1e3:.1f} "
           f"ms/batch{BATCH} ({t_rc*1e3/BATCH:.3f} ms/cloud); threaded in "
