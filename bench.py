@@ -244,8 +244,9 @@ def bench_full_secondaries():
             lat, _ = model.apply(
                 variables, batch,
                 method=lambda m, pc, train=False: m.encoder(pc, train))
+            # decoder returns (coarse, fine); fine is the reconstruction
             return model.apply(
-                variables, lat, method=lambda m, z: m.decoder(z))
+                variables, lat, method=lambda m, z: m.decoder(z))[1]
 
         out = roundtrip(batch)
         float(np.asarray(out.ravel()[0]))   # block_until_ready is a no-op
