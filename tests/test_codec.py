@@ -236,3 +236,27 @@ def test_packed_bounds_buffer_roundtrip(rng):
     np.testing.assert_array_equal(b_start.astype(np.int64), want_lo)
     np.testing.assert_array_equal(b_size.astype(np.int64),
                                   want_hi - want_lo)
+
+
+def test_pack_encode_upload_roundtrip(rng):
+    """The single-buffer encode upload (pack_encode_upload) must depack on
+    device to exactly the four arrays the 4-transfer path uploaded — the
+    packing exists purely to pay ONE tunnel round trip per batch."""
+    import jax.numpy as jnp
+
+    from pcc_tpu.codec import (pack_clouds_u10, pack_encode_upload,
+                               unpack_encode_upload)
+
+    B, N = 4, 1024
+    pcs = (rng.random((B, N, 3)) * 5 - 2).astype(np.float32)
+    starts = np.asarray([0, 3, 17, N - 1], np.int32)
+    packed = pack_encode_upload(pcs, starts)
+    assert packed.dtype == np.uint32 and packed.shape == (B, N + 7)
+
+    q, lo, scale = pack_clouds_u10(pcs)
+    uq, ulo, uscale, ustarts = jax.jit(
+        lambda p: unpack_encode_upload(p, N))(jnp.asarray(packed))
+    np.testing.assert_array_equal(np.asarray(uq), q)
+    np.testing.assert_array_equal(np.asarray(ulo), lo)
+    np.testing.assert_array_equal(np.asarray(uscale), scale)
+    np.testing.assert_array_equal(np.asarray(ustarts), starts)
