@@ -150,6 +150,72 @@ def encode_clouds_attr(params, pcs, rgbs01, fps_starts, *, cfg: CodecConfig,
     )(params, pc01, rgbs01, sampled, center, longest)
 
 
+def pack_attr_upload(pcs: np.ndarray, rgbs: np.ndarray,
+                     starts: np.ndarray) -> np.ndarray:
+    """Host-side single-buffer attr-encode upload: geometry as the codec's
+    u10-packed row (codec.pack_encode_upload) + raw RGB bytes, one u8 row
+    per cloud [B, 4*(N+7) + 3*N]. One tunnel round trip per batch instead
+    of the per-cloud pc/rgb/start transfers (~28 ms each over axon)."""
+    from pcc_tpu.codec import pack_encode_upload
+
+    B, N = pcs.shape[:2]
+    geo = pack_encode_upload(pcs, starts)               # u32 [B, N+7]
+    return np.concatenate([
+        geo.view(np.uint8).reshape(B, -1),
+        np.ascontiguousarray(np.asarray(rgbs, np.uint8)).reshape(B, 3 * N),
+    ], axis=1)
+
+
+def encode_clouds_attr_packed(params, packed, *, cfg: CodecConfig,
+                              d_a: int = 16) -> AttrEncodeResult:
+    """encode_clouds_attr over the pack_attr_upload buffer (device depack:
+    same u10 math as codec.encode_clouds_packed_input, rgb u8 -> [0,1])."""
+    from pcc_tpu.codec import unpack_encode_upload
+
+    N = cfg.N
+    geo = jax.lax.bitcast_convert_type(
+        packed[:, :4 * (N + 7)].reshape(-1, N + 7, 4), jnp.uint32)
+    q, lo, scale, starts = unpack_encode_upload(geo, N)
+    qi = q.astype(jnp.int32)
+    v = jnp.stack([qi & 1023, (qi >> 10) & 1023, (qi >> 20) & 1023],
+                  axis=-1).astype(jnp.float32)
+    pcs = v * (scale / 1023.0)[:, None, :] + lo[:, None, :]
+    rgb01 = (packed[:, 4 * (N + 7):].reshape(-1, N, 3)
+             .astype(jnp.float32) / 255.0)
+    return encode_clouds_attr(params, pcs, rgb01, starts, cfg=cfg, d_a=d_a)
+
+
+def decode_clouds_attr_packed(params, packed, *, cfg: CodecConfig,
+                              d_a: int = 16):
+    """Batched decode over one u8 upload row per cloud:
+    sym u8 [S*d] | asym u8 [S*d_a] | rec f32 bits [12*S] | header f32
+    bits [16]. Returns one u8 buffer per cloud: pc f32 bits [12*M] |
+    rgb u8 [3*M] — so the whole batch decodes with ONE upload and ONE
+    fetch (see pack_attr_upload's round-trip note)."""
+    S, d = cfg.S, cfg.d
+    sym = packed[:, :S * d].reshape(-1, S, d).astype(jnp.int32)
+    o = S * d
+    asym = packed[:, o:o + S * d_a].reshape(-1, S, d_a).astype(jnp.int32)
+    o += S * d_a
+    rec = jax.lax.bitcast_convert_type(
+        packed[:, o:o + 12 * S].reshape(-1, S, 3, 4), jnp.float32)
+    o += 12 * S
+    hdr = jax.lax.bitcast_convert_type(
+        packed[:, o:o + 16].reshape(-1, 4, 4), jnp.float32)
+    pc, rgb01 = jax.vmap(
+        functools.partial(decode_cloud_attr, cfg=cfg, d_a=d_a),
+        in_axes=(None, 0, 0, 0, 0, 0),
+    )(params, sym, asym, rec, hdr[:, :3], hdr[:, 3])
+    # floor(x*255 + 0.5): bit-identical to the former host-side np.clip
+    # conversion (jnp.round would round half to even)
+    rgb_u8 = jnp.clip(jnp.floor(rgb01 * 255.0 + 0.5), 0, 255
+                      ).astype(jnp.uint8)
+    B, M = pc.shape[:2]
+    pc_u8 = jax.lax.bitcast_convert_type(
+        pc.astype(jnp.float32), jnp.uint8).reshape(B, 12 * M)
+    return jnp.concatenate([pc_u8, rgb_u8.reshape(B, 3 * M)], axis=1)
+
+
 def decode_cloud_attr(params, sym, asym, rec_xyz, center, longest, *,
                       cfg: CodecConfig, d_a: int = 16):
     """Symbols -> (cloud [S*k, 3], rgb01 [S*k, 3])."""
@@ -183,7 +249,7 @@ class AttrCodec:
         if N not in self._enc_cache:
             cfg = self.cfg.with_n(N)
             self._enc_cache[N] = jax.jit(functools.partial(
-                encode_clouds_attr, cfg=cfg, d_a=self.d_a))
+                encode_clouds_attr_packed, cfg=cfg, d_a=self.d_a))
         return self._enc_cache[N]
 
     def _dec(self, S):
@@ -197,82 +263,183 @@ class AttrCodec:
                 ),
                 in_axes=(None, None, 0),
             ))
-            dec_fn = jax.jit(jax.vmap(
-                functools.partial(decode_cloud_attr, cfg=cfg, d_a=self.d_a),
-                in_axes=(None, 0, 0, 0, 0, 0),
-            ))
+            dec_fn = jax.jit(functools.partial(
+                decode_clouds_attr_packed, cfg=cfg, d_a=self.d_a))
             self._dec_cache[S] = (cdf_fn, dec_fn)
         return self._dec_cache[S]
 
     def compress(self, pc: np.ndarray, rgb: np.ndarray, fps_start: int = 0):
         """[N,3] float32 + [N,3] uint8 -> (p, s, c, a) bytes."""
-        cfg = self.cfg.with_n(int(pc.shape[0]))
-        enc = self._enc(cfg.N)
-        rgb01 = (np.asarray(rgb, np.float32) / 255.0)[None]
-        res = enc(self.params, jnp.asarray(pc[None]), jnp.asarray(rgb01),
-                  jnp.asarray([fps_start], jnp.int32))
-        # CDFs from the same compiled program the decoder runs
-        cdf_fn, _ = self._dec(cfg.S)
-        cdf, acdf = cdf_fn(self.params["prob"], self.params["attr_prob"],
-                           res.rec_xyz)
-        take = lambda x: np.asarray(x)[0]
-        # 4-byte CDF-checksum trailers: float-CDF streams fail LOUDLY when
-        # decoded under a drifted compiled CDF program instead of range-
-        # decoding plausible garbage (codec.cdf_checksum)
-        from pcc_tpu.codec import cdf_checksum
+        return self.compress_many([pc], [rgb], [fps_start])[0]
 
-        cdf_q = rangecoder.quantize_cdf(take(cdf).astype(np.float64))
-        acdf_q = rangecoder.quantize_cdf(take(acdf).astype(np.float64))
-        p = rangecoder.encode_quantized_cdf(
-            cdf_q, take(res.sym).astype(np.int16)) + cdf_checksum(cdf_q)
-        a = rangecoder.encode_quantized_cdf(
-            acdf_q, take(res.asym).astype(np.int16)) + cdf_checksum(acdf_q)
-        depth = int(take(res.depth))
-        codes = take(res.sorted_codes).astype(np.int64) >> (
-            3 * (cfg.max_depth - depth))
-        if len(np.unique(codes)) != codes.shape[0]:
-            raise ValueError(
-                f"octree at depth {depth} maps {codes.shape[0]} skeleton "
-                f"points to {len(np.unique(codes))} distinct voxels "
-                "(coincident FPS points, no lossless depth); the stream "
-                "would be undecodable"
-            )
-        s = pack_bits(emit_octree_bits(codes, depth))
-        header = np.zeros(4, np.float32)
-        header[:3] = take(res.center)
-        header[3] = float(take(res.longest))
-        return p, s, header.tobytes(), a
+    def compress_many(self, clouds, rgbs, fps_starts=None):
+        """Batched compress: lists of [N,3] f32 + [N,3] u8 -> list of
+        (p, s, c, a). Equal-N clouds batch into single dispatches (padded
+        to batch_size so each (N,) sees one compiled program); per batch:
+        one packed upload, the encode program, the shared CDF program, and
+        one async-gathered fetch — instead of the former ~6 tunnel round
+        trips per CLOUD."""
+        from pcc_tpu.codec import _fetch_all, cdf_checksum
+
+        if fps_starts is None:
+            fps_starts = [0] * len(clouds)
+        results: list = [None] * len(clouds)
+        by_n: dict[int, list[int]] = {}
+        for i, pc in enumerate(clouds):
+            by_n.setdefault(int(pc.shape[0]), []).append(i)
+
+        for N, idxs in by_n.items():
+            cfg = self.cfg.with_n(N)
+            enc = self._enc(N)
+            cdf_fn, _ = self._dec(cfg.S)
+
+            def dispatch(batch_idx):
+                pad = self.batch_size - len(batch_idx)
+                idx_p = list(batch_idx) + [batch_idx[-1]] * pad
+                packed = pack_attr_upload(
+                    np.stack([clouds[i] for i in idx_p]),
+                    np.stack([np.asarray(rgbs[i], np.uint8) for i in idx_p]),
+                    np.asarray([fps_starts[i] for i in idx_p], np.int32))
+                res = enc(self.params, jnp.asarray(packed))
+                # CDFs from the same compiled program the decoder runs
+                cdf, acdf = cdf_fn(self.params["prob"],
+                                   self.params["attr_prob"], res.rec_xyz)
+                return res, cdf, acdf
+
+            def finish(batch_idx, out):
+                res, cdf_d, acdf_d = out
+                (syms, asyms, codes_all, depths, centers, longests, cdf,
+                 acdf) = _fetch_all(res.sym, res.asym, res.sorted_codes,
+                                    res.depth, res.center, res.longest,
+                                    cdf_d, acdf_d)
+                codes_all = codes_all.astype(np.int64)
+                for j, i in enumerate(batch_idx):
+                    # 4-byte CDF-checksum trailers: float-CDF streams fail
+                    # LOUDLY under a drifted compiled CDF program instead
+                    # of range-decoding plausible garbage (cdf_checksum)
+                    cdf_q = rangecoder.quantize_cdf(
+                        cdf[j].astype(np.float64))
+                    acdf_q = rangecoder.quantize_cdf(
+                        acdf[j].astype(np.float64))
+                    p = rangecoder.encode_quantized_cdf(
+                        cdf_q, syms[j].astype(np.int16)) + cdf_checksum(cdf_q)
+                    a = rangecoder.encode_quantized_cdf(
+                        acdf_q, asyms[j].astype(np.int16)
+                    ) + cdf_checksum(acdf_q)
+                    depth = int(depths[j])
+                    codes = codes_all[j] >> (3 * (cfg.max_depth - depth))
+                    if len(np.unique(codes)) != codes.shape[0]:
+                        raise ValueError(
+                            f"octree at depth {depth} maps {codes.shape[0]}"
+                            f" skeleton points to {len(np.unique(codes))} "
+                            "distinct voxels (coincident FPS points, no "
+                            "lossless depth); the stream would be "
+                            "undecodable")
+                    s = pack_bits(emit_octree_bits(codes, depth))
+                    header = np.zeros(4, np.float32)
+                    header[:3] = centers[j]
+                    header[3] = longests[j]
+                    results[i] = (p, s, header.tobytes(), a)
+
+            batches = [idxs[lo:lo + self.batch_size]
+                       for lo in range(0, len(idxs), self.batch_size)]
+            # dispatch-ahead-by-one: batch b's fetch+serialize overlaps
+            # batch b+1's upload+compute
+            prev = None
+            for batch_idx in batches:
+                out = dispatch(batch_idx)
+                if prev is not None:
+                    finish(*prev)
+                prev = (batch_idx, out)
+            if prev is not None:
+                finish(*prev)
+        return results
 
     def decompress(self, p_bytes, s_bytes, c_bytes, a_bytes):
         """(p, s, c, a) -> (pc [M,3] float32, rgb [M,3] uint8)."""
-        codes, depth = parse_octree_bits(unpack_bits(s_bytes))
-        rec = codes_to_points(codes, depth)
-        S = rec.shape[0]
-        cdf_fn, dec_fn = self._dec(S)
-        cdf, acdf = cdf_fn(self.params["prob"], self.params["attr_prob"],
-                           jnp.asarray(rec[None]))
-        from pcc_tpu.codec import cdf_checksum
+        return self.decompress_many([(p_bytes, s_bytes, c_bytes,
+                                      a_bytes)])[0]
 
-        cdf_q = rangecoder.quantize_cdf(np.asarray(cdf, np.float64)[0])
-        acdf_q = rangecoder.quantize_cdf(np.asarray(acdf, np.float64)[0])
-        for blob, rows, name in ((p_bytes, cdf_q, ".p.bin"),
-                                 (a_bytes, acdf_q, ".a.bin")):
-            if blob[-4:] != cdf_checksum(rows):
-                raise ValueError(
-                    f"CDF checksum mismatch on {name}: stream encoded under"
-                    " a different compiled CDF program or checkpoint —"
-                    " decoding would desync the range coder.")
-        sym = rangecoder.decode_quantized_cdf(
-            cdf_q, p_bytes[:-4]).astype(np.int32)
-        asym = rangecoder.decode_quantized_cdf(
-            acdf_q, a_bytes[:-4]).astype(np.int32)
-        header = np.frombuffer(c_bytes, dtype=np.float32)
-        pc, rgb01 = dec_fn(
-            self.params, jnp.asarray(sym[None]), jnp.asarray(asym[None]),
-            jnp.asarray(rec[None]), jnp.asarray(header[:3][None]),
-            jnp.asarray(header[3][None]))
-        rgb = np.clip(np.asarray(rgb01)[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
-        return np.asarray(pc)[0], rgb
+    def decompress_many(self, streams):
+        """Batched decompress: list of (p, s, c, a) -> list of (pc, rgb).
+        Per equal-S batch: one recs upload + shared CDF program + fetch,
+        threadless host range decode, then ONE packed upload and ONE
+        packed fetch through decode_clouds_attr_packed."""
+        from pcc_tpu.codec import _fetch_all, cdf_checksum
+
+        results: list = [None] * len(streams)
+        parsed = []
+        for p_bytes, s_bytes, c_bytes, a_bytes in streams:
+            codes, depth = parse_octree_bits(unpack_bits(s_bytes))
+            parsed.append(codes_to_points(codes, depth))
+        by_s: dict[int, list[int]] = {}
+        for i, rec in enumerate(parsed):
+            by_s.setdefault(rec.shape[0], []).append(i)
+
+        for S, idxs in by_s.items():
+            cfg = self.cfg.with_n(S * self.cfg.k)
+            cdf_fn, dec_fn = self._dec(S)
+            d, d_a = cfg.d, self.d_a
+            row = S * d + S * d_a + 12 * S + 16
+            M = S * cfg.k
+
+            def dispatch(batch_idx):
+                pad = self.batch_size - len(batch_idx)
+                idx_p = list(batch_idx) + [batch_idx[-1]] * pad
+                recs = np.stack([parsed[i] for i in idx_p]
+                                ).astype(np.float32)
+                cdf_d, acdf_d = cdf_fn(self.params["prob"],
+                                       self.params["attr_prob"],
+                                       jnp.asarray(recs))
+                (cdf, acdf) = _fetch_all(cdf_d, acdf_d)
+                arr = np.zeros((len(idx_p), row), np.uint8)
+                for j, i in enumerate(idx_p):
+                    p_bytes, _, c_bytes, a_bytes = streams[i]
+                    cdf_q = rangecoder.quantize_cdf(
+                        cdf[j].astype(np.float64))
+                    acdf_q = rangecoder.quantize_cdf(
+                        acdf[j].astype(np.float64))
+                    for blob, rows_q, name in ((p_bytes, cdf_q, ".p.bin"),
+                                               (a_bytes, acdf_q, ".a.bin")):
+                        if blob[-4:] != cdf_checksum(rows_q):
+                            raise ValueError(
+                                f"CDF checksum mismatch on {name}: stream "
+                                "encoded under a different compiled CDF "
+                                "program or checkpoint — decoding would "
+                                "desync the range coder.")
+                    sym = rangecoder.decode_quantized_cdf(
+                        cdf_q, p_bytes[:-4])
+                    asym = rangecoder.decode_quantized_cdf(
+                        acdf_q, a_bytes[:-4])
+                    o = S * d
+                    arr[j, :o] = sym.astype(np.uint8).ravel()
+                    arr[j, o:o + S * d_a] = asym.astype(np.uint8).ravel()
+                    o += S * d_a
+                    arr[j, o:o + 12 * S] = np.ascontiguousarray(
+                        parsed[i].astype(np.float32)).view(np.uint8).ravel()
+                    arr[j, o + 12 * S:] = np.frombuffer(c_bytes, np.uint8)
+                return idx_p, dec_fn(self.params, jnp.asarray(arr))
+
+            def finish(batch_idx, out):
+                idx_p, buf_d = out
+                (buf,) = _fetch_all(buf_d)
+                for j, i in enumerate(batch_idx):
+                    pc = np.ascontiguousarray(
+                        buf[j, :12 * M]).view(np.float32).reshape(M, 3)
+                    rgb = buf[j, 12 * M:].reshape(M, 3)
+                    results[i] = (pc, rgb.copy())
+
+            batches = [idxs[lo:lo + self.batch_size]
+                       for lo in range(0, len(idxs), self.batch_size)]
+            prev = None
+            for batch_idx in batches:
+                out = dispatch(batch_idx)
+                if prev is not None:
+                    finish(*prev)
+                prev = (batch_idx, out)
+            if prev is not None:
+                finish(*prev)
+        return results
 
 
 # ---------------------------------------------------------------- training --

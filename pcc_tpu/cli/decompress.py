@@ -177,7 +177,7 @@ def _decompress_with_attributes(args, cfg: CodecConfig, files):
     codec = load_attr_codec(args.model_load_folder, cfg, args.seed,
                             d_a=args.d_a)
     start = time.time()
-    n = 0
+    streams, names = [], []
     for f in files:
         name = os.path.split(f)[1][: -len(".s.bin")]
         blobs = []
@@ -191,12 +191,15 @@ def _decompress_with_attributes(args, cfg: CodecConfig, files):
         if blobs is None:
             print(f"skipping {name}: missing attribute stream")
             continue
-        pc, rgb = codec.decompress(*blobs)
+        streams.append(tuple(blobs))
+        names.append(name)
+    # whole-corpus batched decode (AttrCodec.decompress_many)
+    for name, (pc, rgb) in zip(names, codec.decompress_many(streams)):
         save_point_cloud(pc, name + ".bin.ply", path=args.decompressed_path,
                          rgb=rgb)
-        n += 1
-    if n:
-        print(f"Done! Execution time: {round((time.time()-start)/n, 5)}s per point cloud.")
+    if names:
+        print(f"Done! Execution time: "
+              f"{round((time.time()-start)/len(names), 5)}s per point cloud.")
 
 
 if __name__ == "__main__":

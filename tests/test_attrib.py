@@ -94,3 +94,25 @@ def test_ply_rgb_roundtrip(tmp_path, rng):
     path2 = save_point_cloud(pc, "g.ply", path=str(tmp_path))
     _, none_rgb = read_point_cloud_attr(path2)
     assert none_rgb is None
+
+
+def test_attr_codec_many_matches_single(rng):
+    """compress_many/decompress_many must produce the same streams and
+    reconstructions as the per-cloud wrappers (same compiled programs:
+    both pad to batch_size). Fresh params: the module fixture's arrays are
+    donated (deleted) by test_attr_train_step's donate_argnums."""
+    ae_p, prob_p = init_params(jax.random.key(0), CFG)
+    attr_p, attr_prob_p = init_attr_params(jax.random.key(1), CFG, D_A)
+    fresh = {"ae": ae_p, "prob": prob_p,
+             "attr": attr_p, "attr_prob": attr_prob_p}
+    codec = AttrCodec(CFG, fresh, d_a=D_A, batch_size=4)
+    clouds, rgbs = zip(*[_colored_cloud(rng) for _ in range(3)])
+    streams = codec.compress_many(list(clouds), list(rgbs))
+    for pc, rgb, st in zip(clouds, rgbs, streams):
+        assert st == codec.compress(pc, rgb)
+    outs = codec.decompress_many(streams)
+    for st, (pc_o, rgb_o) in zip(streams, outs):
+        pc_1, rgb_1 = codec.decompress(*st)
+        np.testing.assert_array_equal(pc_o, pc_1)
+        np.testing.assert_array_equal(rgb_o, rgb_1)
+        assert rgb_o.dtype == np.uint8
