@@ -281,6 +281,34 @@ def bench_full_secondaries():
     except Exception as e:
         _log(f"rooms secondary bench failed: {type(e).__name__}: {e}")
 
+    # --- XYZ+RGB attributes extension (batched AttrCodec) ---
+    try:
+        import jax
+
+        from pcc_tpu.attrib import AttrCodec, init_attr_params
+
+        cfg = CodecConfig(compute_dtype="bfloat16")
+        ae_params, prob_params = init_params_cpu(11, cfg)
+        attr_params, attr_prob = init_attr_params(jax.random.key(12), cfg)
+        codec = AttrCodec(cfg, {"ae": ae_params, "prob": prob_params,
+                                "attr": attr_params, "attr_prob": attr_prob},
+                          batch_size=32)
+        clouds = synthetic_clouds(64, seed=7)
+        rng = np.random.default_rng(7)
+        rgbs = [rng.integers(0, 256, (cfg.N, 3), dtype=np.int64)
+                .astype(np.uint8) for _ in clouds]
+        streams = codec.compress_many(clouds[:32], rgbs[:32])   # warmup
+        codec.decompress_many(streams)
+        t0 = time.perf_counter()
+        streams = codec.compress_many(clouds[32:], rgbs[32:])
+        outs = codec.decompress_many(streams)
+        dt = time.perf_counter() - t0
+        assert outs[-1][1].dtype == np.uint8
+        emit("XYZ+RGB attributes encode+decode throughput, K256 N8192",
+             cfg.N * 32 / dt)
+    except Exception as e:
+        _log(f"attributes secondary bench failed: {type(e).__name__}: {e}")
+
 
 def bench_baseline():
     """Reference-style serial CPU pipeline (run under JAX_PLATFORMS=cpu)."""
