@@ -244,6 +244,27 @@ class AttrCodec:
         self.batch_size = batch_size
         self._enc_cache = {}
         self._dec_cache = {}
+        # integer-deterministic coding CDFs for BOTH streams (VERDICT r3
+        # item 1): the attribute CPM shares the IPDAE architecture, so one
+        # fixed-point spec (coding/iprob.py) covers .p.bin and .a.bin —
+        # streams become cross-topology byte-exact and the crc32 trailer
+        # is only emitted in the legacy cdf_mode="float" fallback
+        self._integer_cdf = cfg.cdf_mode == "integer"
+        if self._integer_cdf:
+            from pcc_tpu.coding.iprob import convert_prob_params
+
+            def to_dev(raw):
+                # drop the static d/L ints so every leaf is a traceable
+                # array (the bundle rides as an explicit jit argument —
+                # see codec.Codec.__init__ for the arity failure mode)
+                return jax.tree.map(
+                    jnp.asarray,
+                    {k: v for k, v in raw.items() if k not in ("d", "L")})
+
+            self._iprob = to_dev(
+                convert_prob_params(params["prob"], cfg.d, cfg.L))
+            self._iprob_a = to_dev(
+                convert_prob_params(params["attr_prob"], d_a, cfg.L))
 
     def _enc(self, N):
         if N not in self._enc_cache:
@@ -256,17 +277,50 @@ class AttrCodec:
         if S not in self._dec_cache:
             cfg = self.cfg.with_n(S * self.cfg.k)
             attr, attr_prob = make_attr_models(cfg, self.d_a)
-            cdf_fn = jax.jit(jax.vmap(
-                lambda pp, ap, rec: (
-                    pmf_to_cdf(make_models(cfg)[1].apply(pp, rec[None])[0]),
-                    pmf_to_cdf(attr_prob.apply(ap, rec[None])[0]),
-                ),
-                in_axes=(None, None, 0),
-            ))
+            if self._integer_cdf:
+                from pcc_tpu.codec import skeleton_pmf_weights
+
+                d, L, d_a = cfg.d, cfg.L, self.d_a
+                # both bundles are explicit jit ARGUMENTS (never closure
+                # constants); compress and decompress run this same
+                # program, and the integer spec makes its output
+                # byte-identical across any pair of compilations anyway
+                cdf_fn = jax.jit(
+                    lambda gb, ab, rec: (
+                        skeleton_pmf_weights(gb, rec, d=d, L=L),
+                        skeleton_pmf_weights(ab, rec, d=d_a, L=L),
+                    ))
+            else:
+                cdf_fn = jax.jit(jax.vmap(
+                    lambda pp, ap, rec: (
+                        pmf_to_cdf(
+                            make_models(cfg)[1].apply(pp, rec[None])[0]),
+                        pmf_to_cdf(attr_prob.apply(ap, rec[None])[0]),
+                    ),
+                    in_axes=(None, None, 0),
+                ))
             dec_fn = jax.jit(functools.partial(
                 decode_clouds_attr_packed, cfg=cfg, d_a=self.d_a))
             self._dec_cache[S] = (cdf_fn, dec_fn)
         return self._dec_cache[S]
+
+    def _cdf_args(self):
+        """Arguments of the _dec cdf program: integer bundles or the float
+        checkpoints."""
+        if self._integer_cdf:
+            return self._iprob, self._iprob_a
+        return self.params["prob"], self.params["attr_prob"]
+
+    def _rows_pair(self, cdf_j, acdf_j):
+        """Fetched per-cloud CDF-program outputs -> quantized int32 rows
+        for the range coder (integer staircase or legacy float
+        quantization)."""
+        if self._integer_cdf:
+            from pcc_tpu.coding.iprob import weights_to_cdf_rows
+
+            return weights_to_cdf_rows(cdf_j), weights_to_cdf_rows(acdf_j)
+        return (rangecoder.quantize_cdf(cdf_j.astype(np.float64)),
+                rangecoder.quantize_cdf(acdf_j.astype(np.float64)))
 
     def compress(self, pc: np.ndarray, rgb: np.ndarray, fps_start: int = 0):
         """[N,3] float32 + [N,3] uint8 -> (p, s, c, a) bytes."""
@@ -302,8 +356,8 @@ class AttrCodec:
                     np.asarray([fps_starts[i] for i in idx_p], np.int32))
                 res = enc(self.params, jnp.asarray(packed))
                 # CDFs from the same compiled program the decoder runs
-                cdf, acdf = cdf_fn(self.params["prob"],
-                                   self.params["attr_prob"], res.rec_xyz)
+                # (and, in integer mode, byte-identical under ANY program)
+                cdf, acdf = cdf_fn(*self._cdf_args(), res.rec_xyz)
                 return res, cdf, acdf
 
             def finish(batch_idx, out):
@@ -314,18 +368,18 @@ class AttrCodec:
                                     cdf_d, acdf_d)
                 codes_all = codes_all.astype(np.int64)
                 for j, i in enumerate(batch_idx):
-                    # 4-byte CDF-checksum trailers: float-CDF streams fail
-                    # LOUDLY under a drifted compiled CDF program instead
-                    # of range-decoding plausible garbage (cdf_checksum)
-                    cdf_q = rangecoder.quantize_cdf(
-                        cdf[j].astype(np.float64))
-                    acdf_q = rangecoder.quantize_cdf(
-                        acdf[j].astype(np.float64))
+                    # legacy float mode: 4-byte CDF-checksum trailers make
+                    # drifted-program decodes fail LOUDLY (cdf_checksum).
+                    # Integer mode needs none — CDFs are byte-deterministic
+                    # by construction (coding/iprob.py)
+                    cdf_q, acdf_q = self._rows_pair(cdf[j], acdf[j])
                     p = rangecoder.encode_quantized_cdf(
-                        cdf_q, syms[j].astype(np.int16)) + cdf_checksum(cdf_q)
+                        cdf_q, syms[j].astype(np.int16))
                     a = rangecoder.encode_quantized_cdf(
-                        acdf_q, asyms[j].astype(np.int16)
-                    ) + cdf_checksum(acdf_q)
+                        acdf_q, asyms[j].astype(np.int16))
+                    if not self._integer_cdf:
+                        p += cdf_checksum(cdf_q)
+                        a += cdf_checksum(acdf_q)
                     depth = int(depths[j])
                     codes = codes_all[j] >> (3 * (cfg.max_depth - depth))
                     if len(np.unique(codes)) != codes.shape[0]:
@@ -388,29 +442,28 @@ class AttrCodec:
                 idx_p = list(batch_idx) + [batch_idx[-1]] * pad
                 recs = np.stack([parsed[i] for i in idx_p]
                                 ).astype(np.float32)
-                cdf_d, acdf_d = cdf_fn(self.params["prob"],
-                                       self.params["attr_prob"],
-                                       jnp.asarray(recs))
+                cdf_d, acdf_d = cdf_fn(*self._cdf_args(), jnp.asarray(recs))
                 (cdf, acdf) = _fetch_all(cdf_d, acdf_d)
                 arr = np.zeros((len(idx_p), row), np.uint8)
                 for j, i in enumerate(idx_p):
                     p_bytes, _, c_bytes, a_bytes = streams[i]
-                    cdf_q = rangecoder.quantize_cdf(
-                        cdf[j].astype(np.float64))
-                    acdf_q = rangecoder.quantize_cdf(
-                        acdf[j].astype(np.float64))
-                    for blob, rows_q, name in ((p_bytes, cdf_q, ".p.bin"),
-                                               (a_bytes, acdf_q, ".a.bin")):
-                        if blob[-4:] != cdf_checksum(rows_q):
-                            raise ValueError(
-                                f"CDF checksum mismatch on {name}: stream "
-                                "encoded under a different compiled CDF "
-                                "program or checkpoint — decoding would "
-                                "desync the range coder.")
-                    sym = rangecoder.decode_quantized_cdf(
-                        cdf_q, p_bytes[:-4])
-                    asym = rangecoder.decode_quantized_cdf(
-                        acdf_q, a_bytes[:-4])
+                    cdf_q, acdf_q = self._rows_pair(cdf[j], acdf[j])
+                    if not self._integer_cdf:
+                        # legacy float streams: verify the crc32 trailer,
+                        # then strip it before range decoding
+                        for blob, rows_q, name in (
+                                (p_bytes, cdf_q, ".p.bin"),
+                                (a_bytes, acdf_q, ".a.bin")):
+                            if blob[-4:] != cdf_checksum(rows_q):
+                                raise ValueError(
+                                    f"CDF checksum mismatch on {name}: "
+                                    "stream encoded under a different "
+                                    "compiled CDF program or checkpoint — "
+                                    "decoding would desync the range "
+                                    "coder.")
+                        p_bytes, a_bytes = p_bytes[:-4], a_bytes[:-4]
+                    sym = rangecoder.decode_quantized_cdf(cdf_q, p_bytes)
+                    asym = rangecoder.decode_quantized_cdf(acdf_q, a_bytes)
                     o = S * d
                     arr[j, :o] = sym.astype(np.uint8).ravel()
                     arr[j, o:o + S * d_a] = asym.astype(np.uint8).ravel()

@@ -100,6 +100,34 @@ def _skeleton_geometry(pc01, sampled, *, cfg: CodecConfig):
     return octree, patches
 
 
+def _batched_geometry(pc01, sampled, *, cfg: CodecConfig):
+    """Batched octree analysis + KNN patching: [B, N, 3] clouds +
+    [B, S, 3] FPS samples -> (octree fields with leading B, patches
+    [B, S, K, 3]). Only the octree runs under vmap; KNN patching runs as
+    one native-batch op so the fused selection kernel
+    (ops/knn_pallas.py — threshold search + rank-counting compaction in
+    VMEM, replacing the ~50 ms top_k+gather block) stays out of a vmap
+    batching transform. The Pallas path emits patch points in
+    ascending-index order vs top_k's distance order; every patch consumer
+    is a set network (max-pooled), so streams are unchanged."""
+    from pcc_tpu.ops.pallas_gate import pallas_gate
+
+    octree = jax.vmap(functools.partial(
+        octree_analyze, N=cfg.N, min_bpp=cfg.min_bpp,
+        max_depth=cfg.max_depth))(sampled)
+    use_fused, interp = pallas_gate()
+    if cfg.fused_knn and use_fused and cfg.K <= pc01.shape[1]:
+        from pcc_tpu.ops.knn_pallas import knn_select_pallas
+
+        grouped, _ = knn_select_pallas(octree.rec_xyz, pc01, K=cfg.K,
+                                       interpret=interp)
+    else:
+        _, _, grouped = knn_points(octree.rec_xyz, pc01, K=cfg.K,
+                                   return_nn=True)
+    patches = (grouped - octree.rec_xyz[:, :, None, :]) * cfg.patch_scale
+    return octree, patches
+
+
 def encode_clouds(ae_params, prob_params, pcs, fps_starts, *,
                   cfg: CodecConfig) -> EncodeResult:
     """Batched analysis transform [B, N, 3] -> EncodeResult with leading B
@@ -115,8 +143,7 @@ def encode_clouds(ae_params, prob_params, pcs, fps_starts, *,
     # ops/sa_pallas.py) out of a vmap batching transform, and is the
     # MXU-friendlier shape either way.
     ae, _ = make_models(cfg)
-    octree, patches = jax.vmap(
-        functools.partial(_skeleton_geometry, cfg=cfg))(pc01, sampled)
+    octree, patches = _batched_geometry(pc01, sampled, cfg=cfg)
     B, S = patches.shape[:2]
     latent = ae.apply(ae_params, patches.reshape(B * S, cfg.K, 3),
                       method="encode")                               # [B*S, d]
@@ -210,24 +237,49 @@ def skeleton_cdf(prob_params, rec_xyz, *, cfg: CodecConfig):
     return pmf_to_quantized_cdf(pmf)
 
 
-def skeleton_pmf_weights(iprob_bundle, rec_xyz, *, d=None, L=None):
-    """Deterministic integer coding path (coding/iprob.py): [B, S, 3]
-    skeletons -> uint16 Q16 softmax weights [B, S, d, L]. The host derives
-    the CDF staircase with pure integer ops (weights_to_cdf_rows), so the
-    encoder and decoder CDFs are byte-identical across ANY pair of compiled
-    programs — the cross-topology guarantee the float path lacks
-    (parallel/mesh.py's documented ±1-bin drift). Also the cheaper fetch:
-    d*L uint16 weights/row instead of d*(L+1) CDF entries."""
+def integer_pmf_weights(iprob_bundle, rec_xyz, *, cfg: CodecConfig):
+    """Family dispatch for the deterministic integer conditional
+    probability model: coding/iprob.py covers IPDAE's plain PointNet trunk
+    (and the attribute CPM, which shares that architecture); coding/
+    iprob_pppf.py extends the same fixed-point spec to PPPF's PN++
+    backbone. [B, S, 3] skeletons -> [B, S, d, L] int32 Q16 weights,
+    bit-equal across any pair of compiled programs."""
+    if cfg.model == "PPPF-AE":
+        from pcc_tpu.coding.iprob_pppf import pppf_pmf_weights
+
+        return pppf_pmf_weights(iprob_bundle, rec_xyz, d=cfg.d, L=cfg.L)
     from pcc_tpu.coding.iprob import iprob_pmf_weights
 
-    return iprob_pmf_weights(iprob_bundle, rec_xyz,
-                             d=d, L=L).astype(jnp.uint16)
+    return iprob_pmf_weights(iprob_bundle, rec_xyz, d=cfg.d, L=cfg.L)
+
+
+def skeleton_pmf_weights(iprob_bundle, rec_xyz, *, cfg: CodecConfig = None,
+                         d=None, L=None):
+    """Deterministic integer coding path (coding/iprob.py + iprob_pppf.py):
+    [B, S, 3] skeletons -> uint16 Q16 softmax weights [B, S, d, L]. The
+    host derives the CDF staircase with pure integer ops
+    (weights_to_cdf_rows), so the encoder and decoder CDFs are
+    byte-identical across ANY pair of compiled programs — the
+    cross-topology guarantee the float path lacks (parallel/mesh.py's
+    documented ±1-bin drift). Also the cheaper fetch: d*L uint16
+    weights/row instead of d*(L+1) CDF entries.
+
+    cfg=None keeps the IPDAE-only call shape (d/L read from a concrete
+    bundle, or passed explicitly); pass cfg for family dispatch (PPPF) or
+    when the bundle is a jit argument."""
+    if cfg is None:
+        from pcc_tpu.coding.iprob import iprob_pmf_weights
+
+        return iprob_pmf_weights(iprob_bundle, rec_xyz,
+                                 d=d, L=L).astype(jnp.uint16)
+    return integer_pmf_weights(iprob_bundle, rec_xyz,
+                               cfg=cfg).astype(jnp.uint16)
 
 
 def cdf_checksum(cdf_rows: np.ndarray) -> bytes:
     """4-byte little-endian checksum of quantized CDF rows.
 
-    Float-CDF streams (the PPPF family; cdf_mode='float') are decodable
+    Float-CDF streams (the legacy cdf_mode='float' fallback) are decodable
     only when the decoder's compiled CDF program reproduces the encoder's
     quantized rows exactly — a ±1-bin drift across compilations desyncs
     the range coder into plausible-looking garbage (parallel/mesh.py's
@@ -288,12 +340,12 @@ def encode_clouds_packed_bounds(ae_params, prob_params, q, lo, scale,
     single-fetch contract as encode_clouds_packed_io; the range coder's
     byte output is unchanged (the intervals equal the host staircase's
     entries bit-for-bit, tests/test_iprob.py)."""
-    from pcc_tpu.coding.iprob import iprob_encode_bounds
+    from pcc_tpu.coding.iprob import encode_bounds_from_weights
 
     res = encode_clouds_packed_input(ae_params, prob_params, q, lo, scale,
                                      fps_starts, cfg=cfg)
-    start, size = iprob_encode_bounds(iprob_bundle, res.rec_xyz, res.sym,
-                                      d=cfg.d, L=cfg.L)
+    w = integer_pmf_weights(iprob_bundle, res.rec_xyz, cfg=cfg)
+    start, size = encode_bounds_from_weights(w, res.sym)
     return jnp.concatenate([
         _u8(res.sorted_codes), _u8(res.depth[:, None]),
         _u8(res.center), _u8(res.longest[:, None]),
@@ -334,7 +386,7 @@ def encode_clouds_packed_io(ae_params, prob_params, q, lo, scale,
     res = encode_clouds_packed_input(ae_params, prob_params, q, lo, scale,
                                      fps_starts, cfg=cfg)
     w = skeleton_pmf_weights(iprob_bundle, res.rec_xyz,
-                             d=cfg.d, L=cfg.L)               # [B,S,d,L] u16
+                             cfg=cfg)                        # [B,S,d,L] u16
     return jnp.concatenate([
         _u8(res.sorted_codes), _u8(res.depth[:, None]),
         _u8(res.center), _u8(res.longest[:, None]),
@@ -379,12 +431,10 @@ def decode_clouds_entropy_io(ae_params, rec_xyz, streams_u8, *,
     PMF-weight fetch (1.8 MB), no separate CDF dispatch, no host range
     decoding. Symbol parity with the host coder is pinned by
     tests/test_rc_device.py."""
-    from pcc_tpu.coding.iprob import iprob_pmf_weights
     from pcc_tpu.coding.rc_device import range_decode_batch, staircase_full
 
     B, S = rec_xyz.shape[:2]
-    w = iprob_pmf_weights(iprob_bundle, rec_xyz,
-                          d=cfg.d, L=cfg.L)               # [B, S, d, L]
+    w = integer_pmf_weights(iprob_bundle, rec_xyz, cfg=cfg)  # [B, S, d, L]
     cdf = staircase_full(w).reshape(B, S * cfg.d, cfg.L + 1)
     syms = range_decode_batch(cdf, streams_u8)
     sym = syms.reshape(B, S, cfg.d).astype(jnp.int8)
@@ -495,6 +545,10 @@ class Codec:
         # a mesh via shard_map (each chip runs the whole single-chip
         # program on its shard of the cloud batch — per-cloud work has no
         # cross-shard dependence, so shard_map is exact)
+        # fused_knn stays at the caller's setting: the Pallas selection
+        # kernel is parity-pinned in interpret mode but measured slower
+        # than top_k on the real chip and its in-kernel one-hot gather is
+        # not yet bit-exact there (MXU f32 passes) — experimental.
         self.cfg = dataclasses.replace(cfg, fused_sa=True, fused_decode=True)
         self.ae_params = ae_params
         self.prob_params = prob_params
@@ -505,18 +559,25 @@ class Codec:
         # the float prob checkpoint once (deterministic host pass) and keep
         # the fixed-point bundle on device; the host turns fetched uint16
         # weights into CDF rows with integer ops
-        self._integer_cdf = (cfg.cdf_mode == "integer"
-                             and cfg.model != "PPPF-AE")
+        self._integer_cdf = cfg.cdf_mode == "integer"
         if self._integer_cdf:
             from pcc_tpu.coding.iprob import (bounds_supported,
-                                              convert_prob_params,
                                               weights_to_cdf_rows)
 
             # encode-side interval fetch (4 B/symbol) instead of weight
             # rows; falls back to rows for L beyond the int32-exact proof
             self._bounds = bounds_supported(cfg.L)
 
-            raw = convert_prob_params(prob_params, cfg.d, cfg.L)
+            if cfg.model == "PPPF-AE":
+                from pcc_tpu.coding.iprob_pppf import (
+                    convert_pppf_prob_params)
+
+                raw = convert_pppf_prob_params(prob_params, cfg.d, cfg.L,
+                                               S=cfg.S)
+            else:
+                from pcc_tpu.coding.iprob import convert_prob_params
+
+                raw = convert_prob_params(prob_params, cfg.d, cfg.L)
             # the device bundle is passed as a jit ARGUMENT (see
             # _encode_fn); drop the static "d"/"L" ints so every leaf is a
             # traceable array, and supply d/L from cfg at the call sites
@@ -601,8 +662,7 @@ class Codec:
             if self._integer_cdf:
                 # callers pass self._iprob as the first argument (the
                 # bundle is never a closure constant — see _encode_fn)
-                cdf_raw = functools.partial(skeleton_pmf_weights,
-                                            d=cfg.d, L=cfg.L)
+                cdf_raw = functools.partial(skeleton_pmf_weights, cfg=cfg)
             elif cfg.model == "PPPF-AE":
                 cdf_raw = functools.partial(skeleton_cdf_batch, cfg=cfg)
             else:

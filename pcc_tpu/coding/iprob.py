@@ -121,9 +121,17 @@ def iprob_encode_bounds(bundle, rec_xyz, sym, *, d=None, L=None):
     still fetches full weight rows (symbol search needs the whole CDF).
     Bit-equality with the host staircase is pinned by tests/test_iprob.py.
     """
+    w = iprob_pmf_weights(bundle, rec_xyz, d=d, L=L)     # [B, S, d, L] int32
+    return encode_bounds_from_weights(w, sym)
+
+
+def encode_bounds_from_weights(w, sym):
+    """The interval-extraction half of iprob_encode_bounds, over any
+    family's integer Q16 weight tensor [..., L] (IPDAE's iprob_pmf_weights
+    or PPPF's pppf_pmf_weights) + symbols [...]. Pure int32 ops, bit-equal
+    to the host staircase (weights_to_cdf_rows) entries."""
     import jax.numpy as jnp
 
-    w = iprob_pmf_weights(bundle, rec_xyz, d=d, L=L)     # [B, S, d, L] int32
     L = w.shape[-1]
     assert bounds_supported(L), f"L={L} exceeds the int32-exact bounds proof"
     ceil = max(1, int(np.ceil(np.log2(L))))
@@ -188,6 +196,13 @@ def _quant_layer(W, b, s_in, s_next, in_max_int, colmax=None):
     # static overflow bound on |z| (pre-shift target <= 2^14)
     zbound = (np.abs(Wq).T @ np.full(W.shape[0], float(in_max_int))).max() \
         + np.abs(bq).max()
+    # the biased accumulator must itself fit int32: at PPPF's widest layers
+    # (1024 inputs at ACT_MAX) the theoretical worst case sits within ~1%
+    # of 2^31, so verify the bound for the ACTUAL quantized weights and
+    # fail conversion loudly rather than wrap silently at inference
+    assert zbound < 2.0 ** 31, (
+        f"int32 accumulator bound violated ({zbound:.3g}); "
+        "reduce activation bits or layer width")
     r1 = max(0, int(np.ceil(np.log2(max(zbound, 1.0)))) - 14)
     ratio = (s_next / (s_in * sw)) * (1 << r1)
     rq = np.clip(14 - np.floor(np.log2(np.maximum(ratio, 1e-30))), 1, 30)
@@ -401,16 +416,23 @@ def iprob_pmf_weights(bundle, rec_xyz, *, d=None, L=None):
         lw = bundle[f"mlp{i}"]
         a = _requant_jnp(_exact_int_matmul(a, lw["w"]), lw, relu=(i < 2))
     logits = a.reshape(B, S, d, L)
-
-    # integer softmax: t <= 0 at scale S_SM -> Q16 log2 -> LUT >> n
-    t = logits - jnp.max(logits, axis=-1, keepdims=True)
-    v = jnp.minimum((-t) * LOG2E_Q8, 31 << 16)
-    n = v >> 16
-    f = (v >> (16 - LUT_BITS)) & ((1 << LUT_BITS) - 1)
     # prefer the bundle's LUT (an explicit jit argument); the asarray
     # fallback keeps pre-"lut" bundles working but embeds a hoisted
     # constant — see convert_prob_params for why that matters
     lut = bundle.get("lut") if hasattr(bundle, "get") else None
+    return softmax_weights_jnp(logits, lut)
+
+
+def softmax_weights_jnp(logits, lut=None):
+    """JAX twin of _softmax_weights_np (shared by the IPDAE and PPPF
+    integer models): integer softmax, t <= 0 at scale S_SM -> Q16 log2 ->
+    LUT >> n."""
+    import jax.numpy as jnp
+
+    t = logits - jnp.max(logits, axis=-1, keepdims=True)
+    v = jnp.minimum((-t) * LOG2E_Q8, 31 << 16)
+    n = v >> 16
+    f = (v >> (16 - LUT_BITS)) & ((1 << LUT_BITS) - 1)
     if lut is None:
         lut = jnp.asarray(EXP2_LUT)
     return jnp.take(lut, f) >> n

@@ -66,13 +66,21 @@ class CodecConfig:
     # (no backward rule): the Codec enables it; the training forward keeps
     # the XLA decoder.
     fused_decode: bool = False
-    # Coding-CDF derivation (coding/iprob.py). "integer": deterministic
-    # fixed-point inference of the conditional probability model — CDFs are
-    # byte-identical across backends/compilations/topologies, so a stream
-    # encoded on an 8-chip mesh decodes on one chip (and survives XLA
-    # upgrades). "float": the f32 network + on-device uint16 staircase —
-    # only safe when both codec sides share one compiled program (the PPPF
-    # family still uses this: its PN++ prob backbone is not integerized).
+    # Fused Pallas KNN patch selection (ops/knn_pallas.py): threshold
+    # binary search + rank-counting compaction + one-hot matmul gather,
+    # all VMEM-resident — replaces the encode program's top_k+row-gather
+    # block. Inference-only (selection has no gradient; training keeps
+    # knn_points whose gather grads flow). The Codec enables it.
+    fused_knn: bool = False
+    # Coding-CDF derivation (coding/iprob.py for IPDAE + the attribute
+    # stream, coding/iprob_pppf.py for PPPF's PN++ backbone). "integer":
+    # deterministic fixed-point inference of the conditional probability
+    # model — CDFs are byte-identical across backends/compilations/
+    # topologies, so a stream encoded on an 8-chip mesh decodes on one
+    # chip (and survives XLA upgrades). "float": legacy fallback — the f32
+    # network + on-device uint16 staircase, only safe when both codec
+    # sides share one compiled program (streams carry a crc32 trailer that
+    # fails loudly otherwise).
     cdf_mode: str = "integer"
 
     def __post_init__(self):

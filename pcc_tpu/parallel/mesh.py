@@ -94,7 +94,8 @@ def build_sharded_decode(cfg: CodecConfig, mesh: Mesh, axis: str = "data"):
     return cdf_fn, dec_fn
 
 
-def build_sharded_pmf_weights(iprob_bundle, mesh: Mesh, axis: str = "data"):
+def build_sharded_pmf_weights(iprob_bundle, mesh: Mesh, axis: str = "data",
+                              cfg: CodecConfig = None):
     """Data-parallel deterministic coding-CDF weights (coding/iprob.py):
     rec_xyz [B, S, 3] sharded over `axis` -> uint16 Q16 PMF weights
     [B, S, d, L] sharded the same way.
@@ -111,7 +112,9 @@ def build_sharded_pmf_weights(iprob_bundle, mesh: Mesh, axis: str = "data"):
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(axis))
     bundle = jax.device_put(jax.tree.map(jnp.asarray, iprob_bundle), repl)
-    return jax.jit(lambda recs: skeleton_pmf_weights(bundle, recs),
+    # cfg selects the model family (None = IPDAE, d/L from the bundle);
+    # PPPF bundles need it because their leaves don't carry d/L statically
+    return jax.jit(lambda recs: skeleton_pmf_weights(bundle, recs, cfg=cfg),
                    in_shardings=(data,), out_shardings=data)
 
 

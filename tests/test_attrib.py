@@ -43,6 +43,41 @@ def test_attr_ae_shapes(rng, params):
     assert (o >= 0).all() and (o <= 1).all()  # sigmoid output
 
 
+def test_attr_codec_cross_instance(rng, params):
+    """Both streams (.p.bin AND .a.bin) now ride the integer CDF path by
+    default (VERDICT r3 item 1): a stream compressed by one AttrCodec
+    decodes byte-exactly under a SECOND instance's fresh compiled
+    programs — the guarantee the old float path's crc32 trailer could
+    only fail loudly on."""
+    codec = AttrCodec(CFG, params, d_a=D_A)
+    assert codec._integer_cdf
+    pc, rgb = _colored_cloud(rng)
+    streams = codec.compress_many([pc], [rgb])
+    codec2 = AttrCodec(CFG, params, d_a=D_A)
+    (out_pc, out_rgb), = codec2.decompress_many(streams)
+    assert out_pc.shape == (CFG.S * CFG.k, 3)
+    assert out_rgb.shape == (CFG.S * CFG.k, 3)
+    # and the second instance re-encodes to identical bytes
+    assert codec2.compress(pc, rgb) == streams[0]
+
+
+def test_attr_codec_float_mode_checksum_guard(rng, params):
+    """Legacy cdf_mode="float" AttrCodec still emits/verifies the crc32
+    trailers on both streams."""
+    import dataclasses
+
+    cfg_f = dataclasses.replace(CFG, cdf_mode="float")
+    codec = AttrCodec(cfg_f, params, d_a=D_A)
+    assert not codec._integer_cdf
+    pc, rgb = _colored_cloud(rng)
+    p, s, c, a = codec.compress(pc, rgb)
+    out_pc, out_rgb = codec.decompress(p, s, c, a)
+    assert out_pc.shape == (CFG.S * CFG.k, 3)
+    # a truncated trailer must fail loudly
+    with pytest.raises(ValueError, match="CDF checksum mismatch"):
+        codec.decompress(p[:-1] + b"\x00", s, c, a)
+
+
 def test_attr_codec_roundtrip(rng, params):
     codec = AttrCodec(CFG, params, d_a=D_A)
     pc, rgb = _colored_cloud(rng)

@@ -115,18 +115,26 @@ def test_pppf_latent_stream_exact(rng, pppf_codec):
     assert pppf_codec.compress(pc) == streams[0]
 
 
-def test_float_cdf_checksum_guard(rng, pppf_codec):
-    """Float-CDF streams (PPPF) carry a CDF-checksum trailer: decoding
-    under a different CDF program/checkpoint fails loudly instead of
-    range-decoding plausible garbage (r2 advisor finding 4)."""
-    pc = _cloud(rng, n=CFG_PPPF.N)
-    streams = pppf_codec.compress_many([pc])
+def test_float_cdf_checksum_guard(rng):
+    """Float-CDF streams (the legacy cdf_mode="float" fallback — since
+    VERDICT r3 item 1 every family defaults to the integer path) carry a
+    CDF-checksum trailer: decoding under a different CDF
+    program/checkpoint fails loudly instead of range-decoding plausible
+    garbage (r2 advisor finding 4)."""
+    import dataclasses
+
+    cfg_f = dataclasses.replace(CFG_PPPF, cdf_mode="float")
+    ae_params, prob_params = init_params(jax.random.key(11), cfg_f)
+    codec_f = Codec(cfg_f, ae_params, prob_params)
+    assert not codec_f._integer_cdf
+    pc = _cloud(rng, n=cfg_f.N)
+    streams = codec_f.compress_many([pc])
     # happy path: same codec decodes
-    out = pppf_codec.decompress_many(streams)
-    assert out[0].shape == (CFG_PPPF.S * CFG_PPPF.d ** 2, 3)
+    out = codec_f.decompress_many(streams)
+    assert out[0].shape == (cfg_f.S * cfg_f.d ** 2, 3)
     # different checkpoint -> different CDFs -> loud failure
-    ae2, prob2 = init_params(jax.random.key(99), CFG_PPPF)
-    other = Codec(CFG_PPPF, ae2, prob2)
+    ae2, prob2 = init_params(jax.random.key(99), cfg_f)
+    other = Codec(cfg_f, ae2, prob2)
     with pytest.raises(ValueError, match="CDF checksum mismatch"):
         other.decompress_many(streams)
 
