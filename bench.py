@@ -234,17 +234,21 @@ def bench_full_secondaries():
     try:
         cfg = CodecConfig(model="PPPF-AE", compute_dtype="bfloat16")
         ae_params, prob_params = init_params_cpu(11, cfg)
-        codec = Codec(cfg, ae_params, prob_params, batch_size=32)
-        clouds = synthetic_clouds(64, seed=3)
-        streams = codec.compress_many(clouds[:32])     # warmup
+        # The fused PN++ SA stages (ops/pppf_sa_pallas.py) lifted the old
+        # 16-cloud HBM cap, but batch 16 still measures best end-to-end
+        # (696K vs 580K pts/s at 64 — fewer batches pipelined against the
+        # tunnel, the same pattern as IPDAE's batch-256 regression).
+        codec = Codec(cfg, ae_params, prob_params, batch_size=16)
+        clouds = synthetic_clouds(128, seed=3)
+        streams = codec.compress_many(clouds[:64])     # warmup
         codec.decompress_many(streams)
         t0 = time.perf_counter()
-        streams = codec.compress_many(clouds[32:])
+        streams = codec.compress_many(clouds[64:])
         outs = codec.decompress_many(streams)
         dt = time.perf_counter() - t0
-        assert len(outs) == 32
+        assert len(outs) == 64
         emit("PPPF-AE encode+decode throughput, K256 N8192",
-             cfg.N * 32 / dt)
+             cfg.N * 64 / dt)
     except Exception as e:
         _log(f"PPPF secondary bench failed: {type(e).__name__}: {e}")
 

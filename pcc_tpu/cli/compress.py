@@ -43,10 +43,13 @@ def build_parser():
                         "both families share the binary pipeline.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     p.add_argument("--batch_size", type=int, default=None,
-                   help="Clouds per device dispatch. Default 64 (IPDAE); 16 "
-                        "for PPPF-AE, whose PN++ ball-query grouping "
-                        "materializes ~1 GB of activations per cloud and "
-                        "exceeds HBM at 64.")
+                   help="Clouds per device dispatch. Default 64 (IPDAE), 16 "
+                        "for PPPF-AE: on TPU the fused PN++ SA stages "
+                        "(ops/pppf_sa_pallas.py) keep grouping activations "
+                        "in VMEM so larger batches FIT, but 16 measures "
+                        "fastest end-to-end (tunnel pipelining); off-TPU "
+                        "the XLA grouping's ~1 GB/cloud activations make "
+                        "16 a memory cap too.")
     p.add_argument("--profile_dir", default=None,
                    help="Write a jax.profiler trace of the compress run here.")
     p.add_argument("--d_a", type=int, default=16,

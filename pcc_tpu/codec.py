@@ -18,6 +18,7 @@ On-disk contract matches the reference (compress.py:139-152):
 from __future__ import annotations
 
 import functools
+import os
 from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
@@ -59,7 +60,12 @@ def make_models(cfg: CodecConfig):
         from pcc_tpu.models.pppf import (
             PPPF_AE, PPPFConditionalProbabilityModel)
 
-        ae = PPPF_AE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L, dtype=dtype)
+        # fused_sa drives the PN++ fused SA stages (ops/pppf_sa_pallas.py)
+        # for the AE encoder; the float CPM stays unfused — in the default
+        # integer cdf_mode it never runs (coding/iprob_pppf.py replaces it),
+        # and in the legacy float mode its bits feed the coding CDFs.
+        ae = PPPF_AE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L, dtype=dtype,
+                     fused=cfg.fused_sa)
         prob = PPPFConditionalProbabilityModel(d=cfg.d, L=cfg.L, dtype=dtype)
         return ae, prob
     ae = PatchAE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L, sa_knn=cfg.sa_knn,
@@ -546,9 +552,10 @@ class Codec:
         # program on its shard of the cloud batch — per-cloud work has no
         # cross-shard dependence, so shard_map is exact)
         # fused_knn stays at the caller's setting: the Pallas selection
-        # kernel is parity-pinned in interpret mode but measured slower
-        # than top_k on the real chip and its in-kernel one-hot gather is
-        # not yet bit-exact there (MXU f32 passes) — experimental.
+        # kernel is parity-pinned in interpret mode but measured ~5x
+        # SLOWER than top_k on the real chip (the threshold search's
+        # sequential compare+reduce passes — see ops/knn_pallas.py STATUS
+        # and CLAUDE.md's dead-end ledger) — experimental, default off.
         self.cfg = dataclasses.replace(cfg, fused_sa=True, fused_decode=True)
         self.ae_params = ae_params
         self.prob_params = prob_params
@@ -601,7 +608,11 @@ class Codec:
         # 2 puts several 4.2 MB uploads on the tunnel at once, which trips
         # its concurrent-transfer stall pathology (seconds-long hangs —
         # the same failure mode _fetch_all's packed-buffer note documents).
-        self._inflight = 2
+        # The pin is calibrated to the current tunnel; PCC_INFLIGHT
+        # overrides it without a code change if the stall threshold shifts
+        # (e.g. a tunnel upgrade, or local-chip deployments where deeper
+        # pipelines only help).
+        self._inflight = max(1, int(os.environ.get("PCC_INFLIGHT", "2")))
 
     def _shard_map(self, fn, n_in_sharded, n_in_repl):
         """Wrap fn(*repl_args, *sharded_args) in shard_map over the cloud

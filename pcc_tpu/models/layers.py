@@ -92,19 +92,29 @@ class PointwiseMLP(nn.Module):
         then the raw f32 kernels/biases are read back via `self.variables`
         — bitwise the stored params (no affine-probe rounding), so the
         fused and XLA encoders see identical weights. x only supplies the
-        input width in probe mode."""
+        input width in probe mode.
+
+        With use_bn, probe returns (kernel, bias, bn_params, bn_stats)
+        4-tuples instead — the PN++ fused stage (ops/pppf_sa_pallas.py)
+        folds the BatchNorm into the eval-time affine itself."""
         relu = self.relu if self.relu is not None else [True] * len(self.features)
         if probe:
-            assert not self.use_bn, "probe mode bypasses BatchNorm"
             wb = []
             C = x.shape[-1]
             for i, f in enumerate(self.features):
                 # dtype=None: params are created/stored f32; the fused
                 # kernel casts to the compute dtype itself, as Dense would
-                TorchDense(f, dtype=None, name=f"dense_{i}")(
+                h = TorchDense(f, dtype=None, name=f"dense_{i}")(
                     jnp.zeros((1, C), jnp.float32))
                 p = self.variables["params"][f"dense_{i}"]["linear"]
-                wb.append((p["kernel"], p["bias"]))
+                if self.use_bn:
+                    nn.BatchNorm(use_running_average=True, axis=-1,
+                                 dtype=None, name=f"bn_{i}")(h)
+                    wb.append((p["kernel"], p["bias"],
+                               self.variables["params"][f"bn_{i}"],
+                               self.variables["batch_stats"][f"bn_{i}"]))
+                else:
+                    wb.append((p["kernel"], p["bias"]))
                 C = f
             return wb
         for i, f in enumerate(self.features):

@@ -32,6 +32,12 @@ class PointnetSAModule(nn.Module):
     mlp: Sequence[int]
     use_bn: bool = True
     dtype: Any = None
+    # Inference-only fused Pallas path (ops/pppf_sa_pallas.py): ball-KNN +
+    # gather + Conv/BN/ReLU stack + sample-max in one VMEM-resident kernel,
+    # skipping the [B, S, ns, C] HBM intermediates (~4 GB per 16-cloud
+    # PPPF compress batch). No backward rule and BN running stats only —
+    # leave False for training; the Codec enables it for PPPF-AE.
+    fused: bool = False
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
@@ -42,6 +48,27 @@ class PointnetSAModule(nn.Module):
                             jnp.zeros((xyz.shape[0],), jnp.int32))
             new_xyz = index_points(xyz, idx)
 
+        mlp = PointwiseMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype,
+                           name="mlp")
+        from pcc_tpu.ops.pallas_gate import pallas_gate
+
+        use_fused, interp = pallas_gate()
+        if (self.fused and not train and self.use_bn and xyz.ndim == 3
+                and use_fused):
+            from pcc_tpu.ops.pppf_sa_pallas import fold_bn, pppf_sa_fused
+
+            C_in = 3 + (features.shape[-1] if features is not None else 0)
+            wb = mlp(jnp.zeros((1, C_in), jnp.float32), probe=True)
+            layers = [(w, b) + fold_bn(bn_p, bn_s)
+                      for w, b, bn_p, bn_s in wb]
+            out = pppf_sa_fused(
+                new_xyz, xyz,
+                None if features is None else features.astype(jnp.float32),
+                layers, nsample=self.nsample, radius=self.radius,
+                compute_dtype=self.dtype, interpret=interp)
+            # match the XLA path's output dtype (kernel accumulates f32)
+            return new_xyz, (out.astype(self.dtype) if self.dtype else out)
+
         group_idx = ball_query(new_xyz, xyz, K=self.nsample, radius=self.radius)
         grouped_xyz = knn_gather(xyz, group_idx)             # [B, S, ns, 3]
         if features is not None:
@@ -50,8 +77,7 @@ class PointnetSAModule(nn.Module):
         else:
             grouped = grouped_xyz
 
-        out = PointwiseMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype,
-                           name="mlp")(grouped, train)
+        out = mlp(grouped, train)
         return new_xyz, jnp.max(out, axis=2)                 # [B, S, mlp[-1]]
 
 
@@ -67,21 +93,23 @@ class PointNetPP(nn.Module):
     feature_dim: int = 1024
     use_bn: bool = True
     dtype: Any = None
+    fused: bool = False          # see PointnetSAModule.fused
 
     @nn.compact
     def __call__(self, xyz, train: bool = False):
         sa1 = PointnetSAModule(
             npoint=self.points, radius=0.2, nsample=32,
             mlp=(3,) + tuple(self.sa1_mlp), use_bn=self.use_bn,
-            dtype=self.dtype, name="sa1")
+            dtype=self.dtype, fused=self.fused, name="sa1")
         sa2 = PointnetSAModule(
             npoint=128, radius=0.4, nsample=64,
             mlp=tuple(self.sa2_mlp), use_bn=self.use_bn,
-            dtype=self.dtype, name="sa2")
+            dtype=self.dtype, fused=self.fused, name="sa2")
         sa3 = PointnetSAModule(
             npoint=32, radius=0.8, nsample=128,
             mlp=tuple(self.sa3_mlp) + (self.feature_dim,),
-            use_bn=self.use_bn, dtype=self.dtype, name="sa3")
+            use_bn=self.use_bn, dtype=self.dtype, fused=self.fused,
+            name="sa3")
         xyz, feat = sa1(xyz, None, train)
         xyz, feat = sa2(xyz, feat, train)
         xyz, feat = sa3(xyz, feat, train)
@@ -130,10 +158,11 @@ class PPPF_AE(nn.Module):
     L: int = 7
     dim: int = 1024
     dtype: Any = None
+    fused: bool = False          # see PointnetSAModule.fused
 
     def setup(self):
         self.encoder = PointNetPP(points=self.K, feature_dim=self.dim,
-                                  dtype=self.dtype)
+                                  dtype=self.dtype, fused=self.fused)
         self.decoder = FoldingNet(points=self.K, grid_size=self.d,
                                   feature_dim=self.dim, dtype=self.dtype)
         self.enc_proj = TorchDense(self.d, dtype=self.dtype)
