@@ -175,9 +175,24 @@ def chamfer_distance(x: jnp.ndarray, y: jnp.ndarray,
     the loss value equal to ~1e-6 and the gradient equal except at
     measure-zero ties. Leave False for metrics/identity contracts.
 
+    On TPU, fast_search additionally routes kernel-sized patch batches
+    (both [k, K] sides VMEM-bound — IPDAE 16x256, PPPF 256x256) through
+    the fused Pallas forward+VJP (ops/chamfer_pallas.py), whose backward
+    replaces XLA's scatter with a one-hot^T matmul. Same selection and
+    recompute semantics; whole-cloud shapes (PPPE) keep the chunked scan.
+
     Args:
       x: [B, S, 3]; y: [B, N, 3].
     """
+    if fast_search:
+        from pcc_tpu.ops.chamfer_pallas import chamfer_min_dists, fits_kernel
+        from pcc_tpu.ops.pallas_gate import pallas_gate
+
+        use_fused, interp = pallas_gate()
+        if use_fused and fits_kernel(x, y):
+            dxy, dyx = chamfer_min_dists(x, y, interpret=interp)
+            return jnp.mean(jnp.mean(dxy, axis=-1)
+                            + jnp.mean(dyx, axis=-1)), None
     d_xy = jax.vmap(lambda a, b: _directed_mean_sq(a, b, fast_search))(x, y)
     d_yx = jax.vmap(lambda a, b: _directed_mean_sq(a, b, fast_search))(y, x)
     return jnp.mean(d_xy + d_yx), None
