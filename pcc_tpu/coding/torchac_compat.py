@@ -40,11 +40,23 @@ _M32 = 0xFFFFFFFF
 def quantize_cdf_torchac(cdf_float: np.ndarray) -> np.ndarray:
     """torchac's float->int CDF mapping (torchac.py
     _convert_to_int_and_normalize with needs_normalization=True):
-    [..., Lp] floats in [0, 1] -> int64 staircase, last entry == 2^16."""
+    [..., Lp] floats in [0, 1] -> int64 staircase, last entry == 2^16.
+
+    Bit-fidelity notes (the two places a re-implementation can silently
+    diverge from torchac; both are pinned by adversarial vectors in
+    tests/test_torchac_compat.py):
+    * the scale multiply happens in FLOAT32 (torchac.py does
+      `cdf_float.mul_(new_max_value)` on a float32 tensor) before the
+      round — a float64 product rounds differently for CDF values near
+      half-ulp boundaries of the f32 product grid.
+    * torchac then casts to int16 (wrapping above 32767) and the C++
+      backend reinterprets the bits as uint16; entries are equal to this
+      int64 staircase mod 2^16 for every entry the coder reads (indices
+      0..Lp-2 — the top entry is implicit TOTAL on both sides)."""
     cdf_float = np.asarray(cdf_float, dtype=np.float32)
     Lp = cdf_float.shape[-1]
-    cdf = np.round(cdf_float.astype(np.float64)
-                   * (TOTAL - (Lp - 1))).astype(np.int64)
+    scaled = cdf_float * np.float32(TOTAL - (Lp - 1))   # f32, as torchac
+    cdf = np.round(scaled).astype(np.int64)
     cdf = cdf + np.arange(Lp, dtype=np.int64)
     return cdf
 
