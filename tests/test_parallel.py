@@ -223,7 +223,11 @@ from pcc_tpu.parallel import (build_sharded_pppe_train_step, make_mesh,
                               replicate, shard_batch)
 from pcc_tpu.train.steps_pppe import create_pppe_state, make_pppe_optimizer
 cfg = PPPEConfig(N=128, latent_dim=16, coarse_points=32)
-mesh = make_mesh(8)
+# 2-device mesh, as in the PPPF test above: SPMD compile time for the
+# grad program scales with partition count on the CPU backend, and the
+# psum/replication semantics under test are identical (suite wall-time —
+# VERDICT r3 item 8)
+mesh = make_mesh(2)
 tx = make_pppe_optimizer(1e-3)
 state = create_pppe_state(jax.random.key(0), cfg, tx)
 batch = np.random.default_rng(1).random((8, cfg.N, 3)).astype(np.float32)
