@@ -127,6 +127,15 @@ def _batched_geometry(pc01, sampled, *, cfg: CodecConfig):
 
         grouped, _ = knn_select_pallas(octree.rec_xyz, pc01, K=cfg.K,
                                        interpret=interp)
+    elif cfg.pruned_knn:
+        # Morton-chunk-pruned exact selection (ops/knn_pruned.py):
+        # bit-identical patches to knn_points — same coords, same order,
+        # same tie contract — at ~0.35x its device cost. Pure XLA, so it
+        # stays GSPMD-partitionable and falls back to knn_points itself
+        # when the shape offers nothing to prune.
+        from pcc_tpu.ops.knn_pruned import knn_grouped_pruned
+
+        grouped, _ = knn_grouped_pruned(octree.rec_xyz, pc01, K=cfg.K)
     else:
         _, _, grouped = knn_points(octree.rec_xyz, pc01, K=cfg.K,
                                    return_nn=True)

@@ -72,6 +72,14 @@ class CodecConfig:
     # block. Inference-only (selection has no gradient; training keeps
     # knn_points whose gather grads flow). The Codec enables it.
     fused_knn: bool = False
+    # Morton-chunk-pruned exact KNN patch selection (ops/knn_pruned.py):
+    # bit-identical output to knn_points (streams unchanged) at ~0.35x the
+    # device cost of the dense top_k+row-gather block. Pure XLA (sorts +
+    # chunked gathers), GSPMD-partitionable, certificate-verified exact
+    # with a fixed-size top-up for outlier queries. Applies to the encode
+    # program's patch extraction only (training keeps knn_points, whose
+    # gather gradients flow).
+    pruned_knn: bool = True
     # Coding-CDF derivation (coding/iprob.py for IPDAE + the attribute
     # stream, coding/iprob_pppf.py for PPPF's PN++ backbone). "integer":
     # deterministic fixed-point inference of the conditional probability
