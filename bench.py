@@ -575,10 +575,18 @@ def profile_breakdown():
 
     @jax.jit
     def stage_knn(rec, pc01):
-        def one(r, p):
-            _, _, g = knn_points(r[None], p[None], K=ccfg.K, return_nn=True)
-            return (g[0] - r[:, None, :]) * ccfg.patch_scale
-        return jax.vmap(one)(rec, pc01)
+        # the production path (codec.py::_batched_geometry): Morton-chunk-
+        # pruned exact selection, ops/knn_pruned.py
+        from pcc_tpu.ops.knn_pruned import knn_grouped_pruned
+
+        g, _ = knn_grouped_pruned(rec, pc01, K=ccfg.K)
+        return (g - rec[:, :, None, :]) * ccfg.patch_scale
+
+    @jax.jit
+    def stage_knn_dense(rec, pc01):
+        # the pre-round-4 dense block, kept as a comparison line
+        _, _, g = knn_points(rec, pc01, K=ccfg.K, return_nn=True)
+        return (g - rec[:, :, None, :]) * ccfg.patch_scale
 
     import dataclasses
 
@@ -603,12 +611,17 @@ def profile_breakdown():
     pc01, sampled = stage_fps(pcs, starts)
     rec = stage_octree(sampled)
     patches = stage_knn(rec, pc01)
+    patches_d = stage_knn_dense(rec, pc01)
     lat = stage_ae(patches)  # warmups
     latf = stage_ae_fused(patches)
-    jax.block_until_ready((pc01, sampled, rec, patches, lat, latf))
+    jax.block_until_ready((pc01, sampled, rec, patches, patches_d, lat,
+                           latf))
     timed("  stage normalize+FPS", lambda: stage_fps(pcs, starts))
     timed("  stage octree analyze", lambda: stage_octree(sampled))
-    timed("  stage KNN patching", lambda: stage_knn(rec, pc01))
+    timed("  stage KNN patching (Morton-pruned, the codec path)",
+          lambda: stage_knn(rec, pc01))
+    timed("  stage KNN patching (dense top_k+gather, pre-round-4)",
+          lambda: stage_knn_dense(rec, pc01))
     timed("  stage AE encoder (XLA path)", lambda: stage_ae(patches))
     timed("  stage AE encoder (fused Pallas SA, the codec path)",
           lambda: stage_ae_fused(patches))
