@@ -80,6 +80,23 @@ CHUNK = 64          # points per Morton chunk (C = ceil(N/CHUNK) boxes)
 _BIG = 1e9          # padding coordinate: d2 ~ 1e18, finite in f32, never selected
 
 
+def grouped_neighbors(query: jnp.ndarray, points: jnp.ndarray, K: int,
+                      pruned: bool) -> jnp.ndarray:
+    """Flag-dispatched patch-point selection shared by the codec encode
+    program and the train steps: [B, S, 3] x [B, N, 3] -> [B, S, K, 3].
+
+    Patch selection carries no gradient either way (patches are data-
+    derived; autodiff tracks only the parameter path), so training can
+    take the pruned route whenever the flag is on."""
+    if pruned:
+        grouped, _ = knn_grouped_pruned(query, points, K)
+        return grouped
+    from pcc_tpu.ops.knn import knn_points
+
+    _, _, grouped = knn_points(query, points, K, return_nn=True)
+    return grouped
+
+
 def _candidate_chunks(lb: jnp.ndarray, M: int):
     """Top-M chunks by lower bound + min lb among the excluded chunks.
 
@@ -179,7 +196,12 @@ def knn_grouped_pruned(query: jnp.ndarray, points: jnp.ndarray, K: int,
     margin = jnp.asarray(4e-6, dt) * (1.0 + d_K)
     fail = ~(d_K + margin < exc_min)                          # [B, S]
     R = B * S
-    F = min(topup_rows, R)
+    # certificate failures measure ~1.2% of rows on Gaussian-mixture
+    # clouds at M=24 (heavy per-cloud tail); R//8 is ~10x that mean.
+    # Small batches (PPPF codec at 16 clouds, single-cloud encode) would
+    # otherwise full-width-sort a large fraction of their rows for
+    # nothing; the overflow backstop still guards the tail.
+    F = min(topup_rows, max(R // 8, min(64, R)))
     nfail = jnp.sum(fail.astype(jnp.int32))
     _, frow = jax.lax.top_k(fail.reshape(R).astype(jnp.float32), F)
     cloud = frow // S                                         # [F]

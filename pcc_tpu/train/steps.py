@@ -22,7 +22,7 @@ from pcc_tpu.codec import make_models
 from pcc_tpu.config import CodecConfig
 from pcc_tpu.models.losses import rate_distortion_loss
 from pcc_tpu.ops.fps import fps_batch
-from pcc_tpu.ops.knn import knn_points
+from pcc_tpu.ops.knn_pruned import grouped_neighbors
 from pcc_tpu.ops.normalize import normalize
 
 
@@ -57,7 +57,9 @@ def rd_forward(params, batch, key, lam, *, cfg: CodecConfig,
     rec_xyz = jax.lax.stop_gradient(octree.rec_xyz)                  # [B, S, 3]
     skeleton_bits = jnp.sum(octree.total_bits)
 
-    _, _, grouped = knn_points(rec_xyz, pc01, K=cfg.K, return_nn=True)
+    # patch selection has no gradient (patches are data-derived), so the
+    # Morton-pruned exact path applies in training too (ops/knn_pruned.py)
+    grouped = grouped_neighbors(rec_xyz, pc01, cfg.K, cfg.pruned_knn)
     patches = (grouped - rec_xyz[:, :, None, :]) * cfg.patch_scale
     patches = patches.reshape(B * cfg.S, cfg.K, 3)
 

@@ -27,7 +27,7 @@ from pcc_tpu.config import CodecConfig
 from pcc_tpu.models.losses import rate_distortion_loss
 from pcc_tpu.models.pppf import PPPF_AE, PPPFConditionalProbabilityModel
 from pcc_tpu.ops.fps import fps_batch
-from pcc_tpu.ops.knn import knn_points
+from pcc_tpu.ops.knn_pruned import grouped_neighbors
 from pcc_tpu.ops.normalize import normalize
 
 
@@ -91,7 +91,9 @@ def pppf_forward(params, batch_stats, batch, key, lam, *, cfg: CodecConfig,
     rec_xyz = jax.lax.stop_gradient(octree.rec_xyz)
     skeleton_bits = jnp.sum(octree.total_bits)
 
-    _, _, grouped = knn_points(rec_xyz, pc01, K=cfg.K, return_nn=True)
+    # patch selection has no gradient (patches are data-derived), so the
+    # Morton-pruned exact path applies in training too (ops/knn_pruned.py)
+    grouped = grouped_neighbors(rec_xyz, pc01, cfg.K, cfg.pruned_knn)
     patches = (grouped - rec_xyz[:, :, None, :]) * cfg.patch_scale
     patches = patches.reshape(B * cfg.S, cfg.K, 3)
 

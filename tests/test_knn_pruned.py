@@ -140,3 +140,32 @@ def test_codec_streams_unchanged(rng):
                 ae_params, prob_params).compress_many(clouds)
     for (p1, s1, c1), (p2, s2, c2) in zip(on, off):
         assert p1 == p2 and s1 == s2 and c1 == c2
+
+
+def test_train_step_with_pruned_selection(rng):
+    """Training takes the pruned selection too (patches carry no
+    gradient). At a pruning-active shape the step must produce a finite
+    loss that matches the dense path closely — differences can only come
+    from near-tied boundary neighbors (d2 fusion noise between the two
+    compiled programs), which move the loss by at most float noise."""
+    import jax.numpy as jnp
+
+    from pcc_tpu.config import CodecConfig
+    from pcc_tpu.train.state import create_train_state, make_optimizer
+    from pcc_tpu.train.steps import build_train_step
+
+    losses = {}
+    for pruned in (True, False):
+        cfg = CodecConfig(N=2048, N0=64, K=64, d=8, L=7, sa_knn=8,
+                          pruned_knn=pruned)
+        tx = make_optimizer(5e-4, 0.1, 100, 200)
+        state = create_train_state(jax.random.key(0), cfg, tx)
+        step = build_train_step(cfg, tx)
+        batch = jnp.asarray(_mixture(np.random.default_rng(3), 2, 2048))
+        key = jax.random.key(1)
+        for _ in range(2):
+            state, aux = step(state, batch, key, 1e-6)
+        losses[pruned] = float(np.asarray(aux["loss"]))
+        assert np.isfinite(losses[pruned])
+    assert abs(losses[True] - losses[False]) <= 1e-4 * (
+        1.0 + abs(losses[False]))
