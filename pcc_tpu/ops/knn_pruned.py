@@ -203,16 +203,19 @@ def knn_grouped_pruned(query: jnp.ndarray, points: jnp.ndarray, K: int,
     # nothing; the overflow backstop still guards the tail.
     F = min(topup_rows, max(R // 8, min(64, R)))
     nfail = jnp.sum(fail.astype(jnp.int32))
-    _, frow = jax.lax.top_k(fail.reshape(R).astype(jnp.float32), F)
-    cloud = frow // S                                         # [F]
-    d2r = d2.reshape(R, Np)[frow]                             # [F, Np]
-    xr, yr, zr, ir = (a[cloud] for a in (xs, ys, zs, isrt))
-    dF, iF, xF, yF, zF = jax.lax.sort(
-        (d2r, ir, xr, yr, zr), dimension=-1, num_keys=2)
-    g_fix = jnp.stack([xF[..., :K], yF[..., :K], zF[..., :K]], -1)
-    grouped = grouped.reshape(R, K, 3).at[frow].set(g_fix).reshape(
-        B, S, K, 3)
-    idx = idx.reshape(R, K).at[frow].set(iF[..., :K]).reshape(B, S, K)
+
+    def _topup(_):
+        _, frow = jax.lax.top_k(fail.reshape(R).astype(jnp.float32), F)
+        cloud = frow // S                                     # [F]
+        d2r = d2.reshape(R, Np)[frow]                         # [F, Np]
+        xr, yr, zr, ir = (a[cloud] for a in (xs, ys, zs, isrt))
+        dF, iF, xF, yF, zF = jax.lax.sort(
+            (d2r, ir, xr, yr, zr), dimension=-1, num_keys=2)
+        g_fix = jnp.stack([xF[..., :K], yF[..., :K], zF[..., :K]], -1)
+        return (grouped.reshape(R, K, 3).at[frow].set(g_fix)
+                .reshape(B, S, K, 3),
+                idx.reshape(R, K).at[frow].set(iF[..., :K])
+                .reshape(B, S, K))
 
     # -- 7. whole-batch backstop when the top-up overflows ------------------
     def _full_exact(_):
@@ -225,6 +228,10 @@ def knn_grouped_pruned(query: jnp.ndarray, points: jnp.ndarray, K: int,
             pts_s, psel.reshape(B, S * K)).reshape(B, S, K, 3)
         return gsel, ifull[..., :K]
 
-    grouped, idx = jax.lax.cond(
-        nfail <= F, lambda _: (grouped, idx), _full_exact, None)
+    # 0: every row certified (real surface data measures zero failures —
+    # skip the ~5 ms top-up entirely); 1: top-up the failed rows;
+    # 2: overflow backstop.
+    branch = jnp.where(nfail == 0, 0, jnp.where(nfail <= F, 1, 2))
+    grouped, idx = jax.lax.switch(
+        branch, (lambda _: (grouped, idx), _topup, _full_exact), None)
     return grouped, idx
