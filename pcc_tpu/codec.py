@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import NamedTuple
 
@@ -528,6 +529,73 @@ def decode_cloud(ae_params, sym, rec_xyz, center, longest, *, cfg: CodecConfig):
     return denormalize(pc01, center, longest, cfg.margin)
 
 
+class _InflightGate:
+    """Adaptive in-flight batch cap for the codec's software pipelines.
+
+    The axon tunnel has a concurrent-transfer stall pathology: several
+    multi-MB uploads in flight at once can hang for seconds. It shows up
+    on the host as a long block in the main thread's slot wait (the
+    ``futs[-depth].result()`` that bounds how many batches are
+    dispatched-but-uncollected). Rather than pinning the pipeline depth
+    to one day's tunnel calibration, this gate:
+
+    * starts at the configured cap (``PCC_INFLIGHT``, default 2),
+    * collapses to depth 1 the moment a slot wait exceeds the stall
+      threshold (``PCC_STALL_S``, default 2.0 s — steady-state waits are
+      ~0.1-0.3 s, stalls are seconds),
+    * creeps back toward the cap after ``recover`` consecutive fast
+      waits (< 1/4 of the threshold), so a transient stall does not
+      permanently serialize a long run.
+
+    The first wait after construction is ignored: batch 0's wait
+    includes remote compilation (30-500 s here) and cold-path dispatch,
+    neither of which says anything about transfer concurrency.
+    ``PCC_INFLIGHT_FIXED=1`` disables adaptation (fixed legacy depth).
+    """
+
+    def __init__(self, cap: int | None = None, stall_s: float | None = None,
+                 recover: int = 4):
+        if cap is None:
+            cap = max(1, int(os.environ.get("PCC_INFLIGHT", "2")))
+        if stall_s is None:
+            stall_s = float(os.environ.get("PCC_STALL_S", "2.0"))
+        self.cap = max(1, cap)
+        self.depth = self.cap
+        self.stall_s = stall_s
+        self.recover = max(1, recover)
+        self._fixed = os.environ.get("PCC_INFLIGHT_FIXED", "0") == "1"
+        self._fast = 0
+        self._warmup = 1  # waits to ignore (compile/cold dispatch)
+        self.stalls = 0   # total stall events (introspection/tests)
+
+    def record(self, dt: float) -> None:
+        """Feed one observed slot-wait duration; adjust depth."""
+        if self._fixed:
+            return
+        if self._warmup > 0:
+            self._warmup -= 1
+            return
+        if dt > self.stall_s:
+            self.stalls += 1
+            self.depth = 1
+            self._fast = 0
+        elif dt < 0.25 * self.stall_s:
+            self._fast += 1
+            if self._fast >= self.recover and self.depth < self.cap:
+                self.depth += 1
+                self._fast = 0
+        else:
+            self._fast = 0
+
+    def wait_slot(self, futs: list) -> None:
+        """Block until at most ``depth-1`` of ``futs`` are still pending
+        ahead of the next append, timing the block as the stall signal."""
+        if len(futs) >= self.depth:
+            t0 = time.monotonic()
+            futs[-self.depth].result()
+            self.record(time.monotonic() - t0)
+
+
 class Codec:
     """Host-side wrapper: jitted device pipelines + bitstream serialization.
 
@@ -617,11 +685,10 @@ class Codec:
         # 2 puts several 4.2 MB uploads on the tunnel at once, which trips
         # its concurrent-transfer stall pathology (seconds-long hangs —
         # the same failure mode _fetch_all's packed-buffer note documents).
-        # The pin is calibrated to the current tunnel; PCC_INFLIGHT
-        # overrides it without a code change if the stall threshold shifts
-        # (e.g. a tunnel upgrade, or local-chip deployments where deeper
-        # pipelines only help).
-        self._inflight = max(1, int(os.environ.get("PCC_INFLIGHT", "2")))
+        # The depth ADAPTS at runtime: a stalled slot wait collapses it to
+        # 1, sustained fast waits restore it (see _InflightGate). Env:
+        # PCC_INFLIGHT (cap), PCC_STALL_S, PCC_INFLIGHT_FIXED=1 to pin.
+        self._gate = _InflightGate()
 
     def _shard_map(self, fn, n_in_sharded, n_in_repl):
         """Wrap fn(*repl_args, *sharded_args) in shard_map over the cloud
@@ -835,10 +902,10 @@ class Codec:
                     packs.append(self._pool.submit(pack, batches[b + 3]))
                 out = dispatch(packs[b])
                 packs[b] = None          # free the packed host arrays
-                if len(fetch_futs) >= self._inflight:
-                    # cap in-flight batches: bounds device buffers and keeps
-                    # concurrent tunnel uploads below the stall threshold
-                    fetch_futs[-self._inflight].result()
+                # cap in-flight batches: bounds device buffers and keeps
+                # concurrent tunnel uploads below the stall threshold
+                # (adaptive — see _InflightGate)
+                self._gate.wait_slot(fetch_futs)
                 fetch_futs.append(
                     self._fetch_pool.submit(finish_batch, batch_idx, out))
             for f in fetch_futs:
@@ -949,8 +1016,7 @@ class Codec:
                 if b + 1 < len(batches):
                     pending_cdf = dispatch_cdf(batches[b + 1])
                 dec_out = dispatch_dec(stage)
-                if len(fetch_futs) >= self._inflight:
-                    fetch_futs[-self._inflight].result()
+                self._gate.wait_slot(fetch_futs)
                 fetch_futs.append(
                     self._fetch_pool.submit(collect, (batch_idx, dec_out)))
             for f in fetch_futs:
@@ -1030,8 +1096,7 @@ class Codec:
         fetch_futs = []
         for b, batch_idx in enumerate(batches):
             out = dispatch(batch_idx)
-            if len(fetch_futs) >= self._inflight:
-                fetch_futs[-self._inflight].result()
+            self._gate.wait_slot(fetch_futs)
             fetch_futs.append(
                 self._fetch_pool.submit(collect, (batch_idx, out)))
         for f in fetch_futs:
