@@ -89,6 +89,105 @@ def analytic_codec_flops(cfg):
     return S * enc_patch, S * dec_patch   # per cloud
 
 
+def _tunnel_calibration(tag=""):
+    """Time one fixed-size upload and one fixed-size fetch so each pass's
+    throughput can be read against the tunnel weather it ran under
+    (VERDICT r4 item 9: the pass spread is external — evidence it).
+    Returns (up_MBps, down_MBps); one stderr line."""
+    import jax.numpy as jnp
+
+    up = np.zeros((1 << 21,), np.uint8)          # 2 MiB, encode-like
+    t0 = time.perf_counter()
+    d = jnp.asarray(up)
+    np.asarray(d[-1:])                            # force the upload
+    t_up = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(d)                                 # 2 MiB fetch
+    t_down = time.perf_counter() - t0
+    mb = up.nbytes / 1e6
+    _log(f"  tunnel{tag}: up {mb / t_up:.0f} MB/s, down "
+         f"{mb / t_down:.0f} MB/s (2 MiB probe)")
+    return mb / t_up, mb / t_down
+
+
+def _device_only_metrics(codec, cfg, clouds, streams, reps=8):
+    """Device-program-only encode/decode times on pre-staged inputs,
+    completion forced by a full-buffer fetch, with the fetch itself
+    measured separately and subtracted (VERDICT r4 item 1: the driver
+    never runs --profile, so the default output must carry a
+    device-only throughput + MFU figure). Programs are already compiled
+    by the measurement passes; inputs ride up once. Emits one stderr
+    JSON line and returns (enc_s, dec_s) per batch."""
+    import jax.numpy as jnp
+
+    from pcc_tpu.codec import _fetch_all, pack_encode_upload
+
+    B = codec.batch_size
+
+    def timed_minus_fetch(dispatch):
+        out = dispatch()
+        _fetch_all(out)                       # force any stragglers
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = dispatch()
+            _fetch_all(out)                   # dispatch + program + fetch
+        t_total = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _fetch_all(out)                   # fetch of a completed buffer
+        t_fetch = (time.perf_counter() - t0) / reps
+        return max(t_total - t_fetch, 1e-9)
+
+    # --- encode program, packed input staged on device once ---
+    packed = jnp.asarray(pack_encode_upload(
+        np.stack(clouds[:B]), np.zeros((B,), np.int32)))
+    np.asarray(packed[-1:, -1:])              # force the upload
+    enc = codec._encode_fn(cfg.N)
+    t_enc = timed_minus_fetch(
+        lambda: enc(codec.ae_params, codec.prob_params, codec._iprob,
+                    packed))
+
+    # --- fused decode program, recs+streams staged as the one u8 row ---
+    # (mirrors Codec._decompress_fused.dispatch, codec.py)
+    from pcc_tpu.coding.octree_host import (codes_to_points,
+                                            parse_octree_bits, unpack_bits)
+
+    parsed = []
+    for p_b, s_b, c_b in streams[:B]:
+        codes, depth = parse_octree_bits(unpack_bits(s_b))
+        parsed.append(codes_to_points(codes, depth))
+    S = parsed[0].shape[0]
+    assert all(r.shape[0] == S for r in parsed)
+    blobs = [p for p, _, _ in streams[:B]]
+    plen = max(512, -(-max(len(b) for b in blobs) // 512) * 512)
+    arr = np.zeros((B, 12 * S + plen), np.uint8)
+    arr[:, :12 * S] = np.ascontiguousarray(
+        np.stack(parsed).astype(np.float32)).view(np.uint8).reshape(B, -1)
+    for j, b in enumerate(blobs):
+        arr[j, 12 * S: 12 * S + len(b)] = np.frombuffer(b, np.uint8)
+    row = jnp.asarray(arr)
+    np.asarray(row[-1:, -1:])
+    dec = codec._fused_decode_fn(S, plen)
+    t_dec = timed_minus_fetch(
+        lambda: dec(codec.ae_params, codec._iprob, row))
+
+    enc_flops, dec_flops = analytic_codec_flops(cfg)
+    pts = cfg.N * B / (t_enc + t_dec)
+    mfu_enc = enc_flops * B / t_enc / 197e12       # v5e bf16 peak
+    mfu_dec = dec_flops * B / t_dec / 197e12
+    _log(json.dumps({
+        "metric": "device-only encode+decode throughput (programs on "
+                  "pre-staged inputs, fetch-subtracted)",
+        "value": round(pts, 1), "unit": "points/sec/chip",
+        "encode_ms_per_batch": round(t_enc * 1e3, 1),
+        "decode_ms_per_batch": round(t_dec * 1e3, 1),
+        "batch": B,
+        "mfu_encode_pct": round(100 * mfu_enc, 2),
+        "mfu_decode_pct": round(100 * mfu_dec, 2),
+        "vs_baseline": None}))
+    return t_enc, t_dec
+
+
 def bench_tpu():
     from pcc_tpu.cli._common import init_params_cpu, setup_jax
     from pcc_tpu.codec import Codec
@@ -104,8 +203,8 @@ def bench_tpu():
     clouds = synthetic_clouds(N_CLOUDS_TPU + BATCH)
 
     # warmup (compile both directions at the steady batch shape)
-    streams = codec.compress_many(clouds[:BATCH])
-    codec.decompress_many(streams)
+    warm_streams = codec.compress_many(clouds[:BATCH])
+    codec.decompress_many(warm_streams)
 
     # best-of-N_PASSES: each pass is a full encode+decode of all clouds;
     # the spread between passes is tunnel weather, not codec speed.
@@ -118,6 +217,7 @@ def bench_tpu():
 
     def one_pass(p, total):
         nonlocal t_enc, t_dec, dt
+        _tunnel_calibration(f" (pass {p + 1})")
         t0 = time.perf_counter()
         streams = codec.compress_many(clouds[BATCH:])
         e = time.perf_counter() - t0
@@ -143,10 +243,12 @@ def bench_tpu():
     spts = sorted(pass_pts)
     median = (spts[len(spts) // 2] if len(spts) % 2
               else (spts[len(spts) // 2 - 1] + spts[len(spts) // 2]) / 2)
+    trimmed = spts[1:-1] if len(spts) >= 3 else spts
     _log(json.dumps({
         "metric": "per-pass encode+decode throughput",
         "passes": [round(v, 1) for v in pass_pts],
         "median": round(median, 1), "best": round(max(pass_pts), 1),
+        "trimmed_mean": round(sum(trimmed) / len(trimmed), 1),
         "spread": round(max(pass_pts) / min(pass_pts), 2),
         "unit": "points/sec/chip"}))
 
@@ -163,8 +265,12 @@ def bench_tpu():
          f"TFLOP/s ({100*ach_enc/197e12:.1f}% of v5e bf16 peak); decode "
          f"{dec_flops/1e9:.2f} GFLOP/cloud -> {ach_dec/1e12:.3f} TFLOP/s "
          f"({100*ach_dec/197e12:.2f}%). End-to-end is tunnel-transfer and "
-         "latency bound, not FLOP bound — see --profile for the device-"
-         "program-only times, which run several times faster than wall")
+         "latency bound, not FLOP bound — the device-only line below "
+         "times the compiled programs themselves")
+    try:
+        _device_only_metrics(codec, cfg, clouds, warm_streams)
+    except Exception as e:
+        _log(f"device-only metric failed: {type(e).__name__}: {e}")
     return cfg.N * N_CLOUDS_TPU / dt
 
 
@@ -217,9 +323,14 @@ def bench_train_step():
     return results
 
 
-def bench_full_secondaries():
+def bench_full_secondaries(cheap=False):
     """--full: PPPF compress, PPPE, and S3DIS-scale (N=65536) operating
-    points (VERDICT r2 item 7). JSON lines on stderr."""
+    points (VERDICT r2 item 7). JSON lines on stderr.
+
+    cheap=True (--secondaries, run by the DEFAULT bench in a subprocess —
+    VERDICT r4 item 3): one small measured pass of each family so a PPPF /
+    PPPE / attribute regression shows in the driver-captured tail, minus
+    the S3DIS block (cost without regression-detection value)."""
     import jax
 
     from pcc_tpu.cli._common import init_params_cpu, setup_jax
@@ -241,16 +352,17 @@ def bench_full_secondaries():
         # (696K vs 580K pts/s at 64 — fewer batches pipelined against the
         # tunnel, the same pattern as IPDAE's batch-256 regression).
         codec = Codec(cfg, ae_params, prob_params, batch_size=16)
-        clouds = synthetic_clouds(128, seed=3)
-        streams = codec.compress_many(clouds[:64])     # warmup
+        n_meas = 32 if cheap else 64
+        clouds = synthetic_clouds(n_meas + 16, seed=3)
+        streams = codec.compress_many(clouds[:16])     # warmup
         codec.decompress_many(streams)
         t0 = time.perf_counter()
-        streams = codec.compress_many(clouds[64:])
+        streams = codec.compress_many(clouds[16:])
         outs = codec.decompress_many(streams)
         dt = time.perf_counter() - t0
-        assert len(outs) == 64
+        assert len(outs) == n_meas
         emit("PPPF-AE encode+decode throughput, K256 N8192",
-             cfg.N * 64 / dt)
+             cfg.N * n_meas / dt)
     except Exception as e:
         _log(f"PPPF secondary bench failed: {type(e).__name__}: {e}")
 
@@ -296,6 +408,8 @@ def bench_full_secondaries():
 
     # --- S3DIS-scale clouds through the IPDAE codec ---
     try:
+        if cheap:
+            raise StopIteration   # skipped in the default-bench cheap run
         cfg = CodecConfig(compute_dtype="bfloat16")
         ae_params, prob_params = init_params_cpu(11, cfg)
         codec = Codec(cfg, ae_params, prob_params, batch_size=4)
@@ -312,6 +426,8 @@ def bench_full_secondaries():
         assert outs[-1].shape[0] == N
         emit("IPDAE encode+decode throughput, S3DIS-scale N65536",
              N * 16 / dt)
+    except StopIteration:
+        pass
     except Exception as e:
         _log(f"rooms secondary bench failed: {type(e).__name__}: {e}")
 
@@ -723,20 +839,25 @@ def main():
     if "--full" in sys.argv:
         bench_full_secondaries()
         return
+    if "--secondaries" in sys.argv:
+        bench_full_secondaries(cheap=True)
+        return
     value = bench_tpu()
-    try:
-        # fresh interpreter: running the train bench after the codec bench
-        # in one process measures ~20x slow (allocator/tunnel state from
-        # the 512-cloud codec phase poisons the step timing — observed
-        # 1.1M vs 50.8M pts/s for identical code)
-        out = subprocess.run([sys.executable, __file__, "--train"],
-                             capture_output=True, text=True, cwd=REPO,
-                             timeout=1800)
-        for line in out.stderr.splitlines():
-            if line.startswith("{"):
-                _log(line)
-    except Exception as e:
-        _log(f"train-step bench failed: {type(e).__name__}: {e}")
+    # fresh interpreters for the remaining suites: running them after the
+    # codec bench in one process measures ~20x slow (allocator/tunnel
+    # state from the 512-cloud codec phase poisons the step timing —
+    # observed 1.1M vs 50.8M pts/s for identical code)
+    for flag, label, tmo in (("--train", "train-step", 1800),
+                             ("--secondaries", "secondaries", 2400)):
+        try:
+            out = subprocess.run([sys.executable, __file__, flag],
+                                 capture_output=True, text=True, cwd=REPO,
+                                 timeout=tmo)
+            for line in out.stderr.splitlines():
+                if line.startswith("{") or "bench failed" in line:
+                    _log(line)
+        except Exception as e:
+            _log(f"{label} bench failed: {type(e).__name__}: {e}")
     baseline = get_baseline()
     # the ONE-json-line stdout contract comes last so it is the tail
     print(json.dumps({

@@ -111,24 +111,12 @@ def _batched_geometry(pc01, sampled, *, cfg: CodecConfig):
     """Batched octree analysis + KNN patching: [B, N, 3] clouds +
     [B, S, 3] FPS samples -> (octree fields with leading B, patches
     [B, S, K, 3]). Only the octree runs under vmap; KNN patching runs as
-    one native-batch op so the fused selection kernel
-    (ops/knn_pallas.py — threshold search + rank-counting compaction in
-    VMEM, replacing the ~50 ms top_k+gather block) stays out of a vmap
-    batching transform. The Pallas path emits patch points in
-    ascending-index order vs top_k's distance order; every patch consumer
-    is a set network (max-pooled), so streams are unchanged."""
-    from pcc_tpu.ops.pallas_gate import pallas_gate
-
+    one native-batch op (the MXU-friendlier shape, and it keeps the
+    selection out of a vmap batching transform)."""
     octree = jax.vmap(functools.partial(
         octree_analyze, N=cfg.N, min_bpp=cfg.min_bpp,
         max_depth=cfg.max_depth))(sampled)
-    use_fused, interp = pallas_gate()
-    if cfg.fused_knn and use_fused and cfg.K <= pc01.shape[1]:
-        from pcc_tpu.ops.knn_pallas import knn_select_pallas
-
-        grouped, _ = knn_select_pallas(octree.rec_xyz, pc01, K=cfg.K,
-                                       interpret=interp)
-    elif cfg.pruned_knn:
+    if cfg.pruned_knn:
         # Morton-chunk-pruned exact selection (ops/knn_pruned.py):
         # bit-identical patches to knn_points — same coords, same order,
         # same tie contract — at ~0.35x its device cost. Pure XLA, so it
@@ -628,11 +616,6 @@ class Codec:
         # a mesh via shard_map (each chip runs the whole single-chip
         # program on its shard of the cloud batch — per-cloud work has no
         # cross-shard dependence, so shard_map is exact)
-        # fused_knn stays at the caller's setting: the Pallas selection
-        # kernel is parity-pinned in interpret mode but measured ~5x
-        # SLOWER than top_k on the real chip (the threshold search's
-        # sequential compare+reduce passes — see ops/knn_pallas.py STATUS
-        # and CLAUDE.md's dead-end ledger) — experimental, default off.
         self.cfg = dataclasses.replace(cfg, fused_sa=True, fused_decode=True)
         self.ae_params = ae_params
         self.prob_params = prob_params
@@ -688,7 +671,17 @@ class Codec:
         # The depth ADAPTS at runtime: a stalled slot wait collapses it to
         # 1, sustained fast waits restore it (see _InflightGate). Env:
         # PCC_INFLIGHT (cap), PCC_STALL_S, PCC_INFLIGHT_FIXED=1 to pin.
-        self._gate = _InflightGate()
+        # One gate PER pipeline (encode / fused decode / float decode):
+        # each pipeline's first wait includes its own program's remote
+        # compile (30-500 s here), and a shared gate would misclassify the
+        # second and third pipelines' compile waits as tunnel stalls.
+        self._gates: dict = {}
+
+    def _gate(self, pipeline: str) -> _InflightGate:
+        gate = self._gates.get(pipeline)
+        if gate is None:
+            gate = self._gates[pipeline] = _InflightGate()
+        return gate
 
     def _shard_map(self, fn, n_in_sharded, n_in_repl):
         """Wrap fn(*repl_args, *sharded_args) in shard_map over the cloud
@@ -905,7 +898,7 @@ class Codec:
                 # cap in-flight batches: bounds device buffers and keeps
                 # concurrent tunnel uploads below the stall threshold
                 # (adaptive — see _InflightGate)
-                self._gate.wait_slot(fetch_futs)
+                self._gate("encode").wait_slot(fetch_futs)
                 fetch_futs.append(
                     self._fetch_pool.submit(finish_batch, batch_idx, out))
             for f in fetch_futs:
@@ -1016,7 +1009,7 @@ class Codec:
                 if b + 1 < len(batches):
                     pending_cdf = dispatch_cdf(batches[b + 1])
                 dec_out = dispatch_dec(stage)
-                self._gate.wait_slot(fetch_futs)
+                self._gate("decode_float").wait_slot(fetch_futs)
                 fetch_futs.append(
                     self._fetch_pool.submit(collect, (batch_idx, dec_out)))
             for f in fetch_futs:
@@ -1096,7 +1089,7 @@ class Codec:
         fetch_futs = []
         for b, batch_idx in enumerate(batches):
             out = dispatch(batch_idx)
-            self._gate.wait_slot(fetch_futs)
+            self._gate("decode_fused").wait_slot(fetch_futs)
             fetch_futs.append(
                 self._fetch_pool.submit(collect, (batch_idx, out)))
         for f in fetch_futs:

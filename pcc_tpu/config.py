@@ -66,12 +66,6 @@ class CodecConfig:
     # (no backward rule): the Codec enables it; the training forward keeps
     # the XLA decoder.
     fused_decode: bool = False
-    # Fused Pallas KNN patch selection (ops/knn_pallas.py): threshold
-    # binary search + rank-counting compaction + one-hot matmul gather,
-    # all VMEM-resident — replaces the encode program's top_k+row-gather
-    # block. Inference-only (selection has no gradient; training keeps
-    # knn_points whose gather grads flow). The Codec enables it.
-    fused_knn: bool = False
     # Morton-chunk-pruned exact KNN patch selection (ops/knn_pruned.py):
     # bit-identical output to knn_points (streams unchanged) at ~0.35x the
     # device cost of the dense top_k+row-gather block. Pure XLA (sorts +
