@@ -320,6 +320,43 @@ def bench_train_step():
             "vs_baseline": round(results[True] / results[False], 2)
             if fused else None,
         }))
+
+    # PPPF-AE train step, XLA vs fused Pallas SA stages (VERDICT r4 item
+    # 2). The fused step trains with frozen BN running stats (eval-affine
+    # BN — the post-warmup regime, cli/train.py --bn_warmup_steps);
+    # throughput is stat-independent.
+    try:
+        from pcc_tpu.train.steps_pppf import (build_pppf_train_step,
+                                              create_pppf_state)
+
+        Bp, REPSp = 4, 5
+        presults = {}
+        for fused in (False, True):
+            cfg = CodecConfig(model="PPPF-AE", compute_dtype="bfloat16")
+            tx = make_optimizer(5e-4, 0.1, 60000, 80000)
+            state = create_pppf_state(jax.random.key(11), cfg, tx)
+            step = build_pppf_train_step(cfg, tx, fused=fused)
+            batch = jnp.asarray(np.stack(
+                synthetic_clouds(Bp, N=cfg.N, seed=2)))
+            key = jax.random.key(0)
+            state, aux = step(state, batch, key, 0.0)  # compile
+            float(np.asarray(aux["loss"]))
+            t0 = time.perf_counter()
+            for _ in range(REPSp):
+                state, aux = step(state, batch, key, 0.0)
+            float(np.asarray(aux["loss"]))             # forces the chain
+            dt = time.perf_counter() - t0
+            pts = Bp * cfg.N * REPSp / dt
+            presults[fused] = pts
+            _log(json.dumps({
+                "metric": f"PPPF-AE train-step throughput, batch {Bp} "
+                          f"({'fused Pallas' if fused else 'XLA'} SA)",
+                "value": round(pts, 1), "unit": "points/sec/chip",
+                "vs_baseline": round(presults[True] / presults[False], 2)
+                if fused else None,
+            }))
+    except Exception as e:
+        _log(f"PPPF train bench failed: {type(e).__name__}: {e}")
     return results
 
 

@@ -73,11 +73,20 @@ def build_parser():
                         "params/optimizer stay float32.")
     p.add_argument("--fused_encoder", choices=["auto", "on", "off"],
                    default="auto",
-                   help="Fused Pallas patch encoder in the train step "
-                        "(forward + custom-VJP backward kernel, "
-                        "ops/sa_pallas.py). auto = on for single-device TPU "
-                        "IPDAE training, off elsewhere (the kernel is not "
-                        "GSPMD-partitionable under plain jit).")
+                   help="Fused Pallas encoder in the train step (forward + "
+                        "custom-VJP backward kernels: ops/sa_pallas.py for "
+                        "AE, ops/pppf_sa_pallas.py for PPPF-AE). auto = on "
+                        "for single-device TPU training, off elsewhere (the "
+                        "kernels are not GSPMD-partitionable under plain "
+                        "jit). For PPPF-AE the fused step freezes the "
+                        "encoder's BatchNorm running stats (eval-affine "
+                        "BN), so it engages after --bn_warmup_steps XLA "
+                        "steps have populated them.")
+    p.add_argument("--bn_warmup_steps", type=int, default=1000,
+                   help="PPPF-AE only: steps trained through the XLA "
+                        "encoder (BN batch stats updating) before switching "
+                        "to the fused Pallas step with frozen stats. 0 = "
+                        "fused from the start.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
     from pcc_tpu.cli._common import add_devices_flag
     add_devices_flag(p)
@@ -98,12 +107,13 @@ def main(argv=None):
     from pcc_tpu.cli._common import maybe_mesh
     mesh = maybe_mesh(args.devices)
     fused = args.fused_encoder == "on" or (
-        args.fused_encoder == "auto" and args.model == "AE" and mesh is None
+        args.fused_encoder == "auto"
+        and args.model in ("AE", "PPPF-AE") and mesh is None
         and jax.default_backend() == "tpu" and jax.device_count() == 1)
     cfg = CodecConfig(N=args.N, N0=args.N0, ALPHA=args.ALPHA, K=args.K,
                       d=args.d, L=args.L,
                       compute_dtype="bfloat16" if args.bf16 else "float32",
-                      fused_sa=fused)
+                      fused_sa=fused and args.model == "AE")
     print(f"Training {args.model} on {jax.devices()[0].platform}"
           + (" (fused Pallas encoder)" if fused else ""))
     print(f"N={cfg.N}, K={cfg.K}, S={cfg.S}, d={cfg.d}, L={cfg.L}")
@@ -118,6 +128,7 @@ def main(argv=None):
     print(f"Loaded {points.shape} points, range: [{points.min()}, {points.max()}]")
 
     tx = make_optimizer(args.lr, args.lr_decay, args.lr_decay_steps, args.max_steps)
+    fused_step, fused_after = None, 0    # PPPF-AE post-BN-warmup step
     if args.model == "AE":
         state = create_train_state(jax.random.key(args.seed), cfg, tx)
         if mesh is not None:
@@ -135,6 +146,16 @@ def main(argv=None):
                 cfg, tx, mesh, rate_mode=args.rate_mode)
         else:
             train_step = build_pppf_train_step(cfg, tx, rate_mode=args.rate_mode)
+            if fused:
+                # BN-warmup scheme: XLA step (batch stats updating) until
+                # --bn_warmup_steps, then the fused Pallas step with the
+                # stats frozen at their warmed-up values (jit is lazy, so
+                # the unused program never compiles). Selected per step in
+                # the loop below off the python counter — never off
+                # state.step, which would sync the dispatch pipeline.
+                fused_step = build_pppf_train_step(
+                    cfg, tx, rate_mode=args.rate_mode, fused=True)
+                fused_after = args.bn_warmup_steps
     else:
         raise ValueError(f"Unknown model type: {args.model}")
 
@@ -174,13 +195,15 @@ def main(argv=None):
             batch = points[order[lo : lo + B]]
             lam = args.lamda if global_step >= args.rate_loss_enable_step else 0.0
             key, sub = jax.random.split(key)
+            step_fn = (fused_step if fused_step is not None
+                       and global_step >= fused_after else train_step)
             if mesh is not None:
                 from pcc_tpu.parallel import shard_batch
                 with mesh:
-                    state, aux = train_step(state, shard_batch(mesh, batch),
-                                            sub, lam)
+                    state, aux = step_fn(state, shard_batch(mesh, batch),
+                                         sub, lam)
             else:
-                state, aux = train_step(state, batch, sub, lam)
+                state, aux = step_fn(state, batch, sub, lam)
             global_step += 1
 
             # keep aux as device arrays — converting every step would sync

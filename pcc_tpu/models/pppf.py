@@ -38,6 +38,13 @@ class PointnetSAModule(nn.Module):
     # PPPF compress batch). No backward rule and BN running stats only —
     # leave False for training; the Codec enables it for PPPF-AE.
     fused: bool = False
+    # Trainable fused path (custom-VJP backward kernel, VERDICT r4 item 2):
+    # same forward kernel, per-group-recompute backward
+    # (ops/pppf_sa_pallas.py::pppf_sa_trainable). BN runs in its
+    # eval-affine form (frozen running stats, gradients to scale/bias) —
+    # use after a warmup of XLA steps has populated the running stats
+    # (cli/train.py --bn_warmup_steps). Stats do NOT update while fused.
+    fused_train: bool = False
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
@@ -53,15 +60,17 @@ class PointnetSAModule(nn.Module):
         from pcc_tpu.ops.pallas_gate import pallas_gate
 
         use_fused, interp = pallas_gate()
-        if (self.fused and not train and self.use_bn and xyz.ndim == 3
-                and use_fused):
-            from pcc_tpu.ops.pppf_sa_pallas import fold_bn, pppf_sa_fused
+        fused_now = (self.fused and not train) or (self.fused_train and train)
+        if fused_now and self.use_bn and xyz.ndim == 3 and use_fused:
+            from pcc_tpu.ops.pppf_sa_pallas import (fold_bn, pppf_sa_fused,
+                                                    pppf_sa_trainable)
 
             C_in = 3 + (features.shape[-1] if features is not None else 0)
             wb = mlp(jnp.zeros((1, C_in), jnp.float32), probe=True)
             layers = [(w, b) + fold_bn(bn_p, bn_s)
                       for w, b, bn_p, bn_s in wb]
-            out = pppf_sa_fused(
+            fn = pppf_sa_trainable if train else pppf_sa_fused
+            out = fn(
                 new_xyz, xyz,
                 None if features is None else features.astype(jnp.float32),
                 layers, nsample=self.nsample, radius=self.radius,
@@ -94,22 +103,25 @@ class PointNetPP(nn.Module):
     use_bn: bool = True
     dtype: Any = None
     fused: bool = False          # see PointnetSAModule.fused
+    fused_train: bool = False    # see PointnetSAModule.fused_train
 
     @nn.compact
     def __call__(self, xyz, train: bool = False):
         sa1 = PointnetSAModule(
             npoint=self.points, radius=0.2, nsample=32,
             mlp=(3,) + tuple(self.sa1_mlp), use_bn=self.use_bn,
-            dtype=self.dtype, fused=self.fused, name="sa1")
+            dtype=self.dtype, fused=self.fused,
+            fused_train=self.fused_train, name="sa1")
         sa2 = PointnetSAModule(
             npoint=128, radius=0.4, nsample=64,
             mlp=tuple(self.sa2_mlp), use_bn=self.use_bn,
-            dtype=self.dtype, fused=self.fused, name="sa2")
+            dtype=self.dtype, fused=self.fused,
+            fused_train=self.fused_train, name="sa2")
         sa3 = PointnetSAModule(
             npoint=32, radius=0.8, nsample=128,
             mlp=tuple(self.sa3_mlp) + (self.feature_dim,),
             use_bn=self.use_bn, dtype=self.dtype, fused=self.fused,
-            name="sa3")
+            fused_train=self.fused_train, name="sa3")
         xyz, feat = sa1(xyz, None, train)
         xyz, feat = sa2(xyz, feat, train)
         xyz, feat = sa3(xyz, feat, train)
@@ -159,10 +171,12 @@ class PPPF_AE(nn.Module):
     dim: int = 1024
     dtype: Any = None
     fused: bool = False          # see PointnetSAModule.fused
+    fused_train: bool = False    # see PointnetSAModule.fused_train
 
     def setup(self):
         self.encoder = PointNetPP(points=self.K, feature_dim=self.dim,
-                                  dtype=self.dtype, fused=self.fused)
+                                  dtype=self.dtype, fused=self.fused,
+                                  fused_train=self.fused_train)
         self.decoder = FoldingNet(points=self.K, grid_size=self.d,
                                   feature_dim=self.dim, dtype=self.dtype)
         self.enc_proj = TorchDense(self.d, dtype=self.dtype)

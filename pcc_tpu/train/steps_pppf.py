@@ -47,8 +47,9 @@ class PPPFTrainState:
         )
 
 
-def make_pppf_models(cfg: CodecConfig):
-    ae = PPPF_AE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L)
+def make_pppf_models(cfg: CodecConfig, fused_train: bool = False):
+    ae = PPPF_AE(K=cfg.K, k=cfg.k, d=cfg.d, L=cfg.L,
+                 fused_train=fused_train)
     prob = PPPFConditionalProbabilityModel(d=cfg.d, L=cfg.L)
     return ae, prob
 
@@ -75,8 +76,9 @@ def create_pppf_state(key: jax.Array, cfg: CodecConfig, tx) -> PPPFTrainState:
 
 
 def pppf_forward(params, batch_stats, batch, key, lam, *, cfg: CodecConfig,
-                 rate_mode: str = "reference", train: bool = True):
-    ae, prob = make_pppf_models(cfg)
+                 rate_mode: str = "reference", train: bool = True,
+                 fused: bool = False):
+    ae, prob = make_pppf_models(cfg, fused_train=fused)
     B, N, _ = batch.shape
 
     pc01, _, _ = jax.vmap(functools.partial(normalize, margin=cfg.margin))(batch)
@@ -133,11 +135,18 @@ def pppf_forward(params, batch_stats, batch, key, lam, *, cfg: CodecConfig,
     return loss, (aux, new_stats)
 
 
-def build_pppf_train_step(cfg: CodecConfig, tx, rate_mode: str = "reference"):
+def build_pppf_train_step(cfg: CodecConfig, tx, rate_mode: str = "reference",
+                          fused: bool = False):
+    """fused=True runs the PN++ SA stages through the fused Pallas
+    forward+backward kernels (ops/pppf_sa_pallas.py::pppf_sa_trainable).
+    BatchNorm then uses its eval-affine form — running stats are frozen
+    for the AE encoder (the CPM still updates its own); see
+    cli/train.py's --bn_warmup_steps scheme."""
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, key, lam):
         grad_fn = jax.value_and_grad(
-            functools.partial(pppf_forward, cfg=cfg, rate_mode=rate_mode),
+            functools.partial(pppf_forward, cfg=cfg, rate_mode=rate_mode,
+                              fused=fused),
             has_aux=True,
         )
         (loss, (aux, new_stats)), grads = grad_fn(

@@ -78,6 +78,85 @@ def test_pppf_encode_parity_interpret(rng, monkeypatch):
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("npoint,radius,nsample,mlp,N,C", [
+    (64, 0.2, 8, (3, 16, 16, 32), 64, 0),      # sa1 shape (npoint == N)
+    (32, 0.4, 16, (24, 16, 32), 64, 21),       # sa2 shape (FPS + features)
+    (8, 0.8, 32, (40, 32, 48), 32, 37),        # sa3 shape (ns == N/1)
+])
+def test_stage_grad_parity_interpret(rng, monkeypatch, npoint, radius,
+                                     nsample, mlp, N, C):
+    """fused_train (custom-VJP backward kernel) vs XLA autodiff with
+    use_running_average BN — the exact semantics the fused step trains
+    under (frozen running stats; VERDICT r4 item 2)."""
+    xyz, feat, variables = _stage_pair(rng, npoint, radius, nsample, mlp,
+                                       N, C)
+    # live running stats (mean ~0, var ~1) so the relu stack stays awake —
+    # _stage_pair's all-positive stats kill most activations, which zeroes
+    # the very gradients this test exists to compare
+    def live(path, a):
+        if "mean" in jax.tree_util.keystr(path):
+            return jnp.asarray(
+                (rng.random(a.shape).astype(np.float32) - 0.5) * 0.1)
+        return jnp.asarray(rng.random(a.shape).astype(np.float32) + 0.5)
+    stats = jax.tree_util.tree_map_with_path(live, variables["batch_stats"])
+    fx = None if feat is None else jnp.asarray(feat)
+
+    def loss(params, xyzi, feati, m, train):
+        v = {"params": params, "batch_stats": stats}
+        _, out = m.apply(v, xyzi, feati, train)
+        return jnp.sum(jnp.sin(out) * 0.7)
+
+    mod = PointnetSAModule(npoint=npoint, radius=radius, nsample=nsample,
+                           mlp=mlp)
+    argnums = (0, 1) if feat is None else (0, 1, 2)
+    lx, gx = jax.value_and_grad(loss, argnums=argnums)(
+        variables["params"], jnp.asarray(xyz), fx, mod, False)
+
+    monkeypatch.setenv("PCC_PALLAS_INTERPRET", "1")
+    modf = PointnetSAModule(npoint=npoint, radius=radius, nsample=nsample,
+                            mlp=mlp, fused_train=True)
+    lf, gf = jax.value_and_grad(loss, argnums=argnums)(
+        variables["params"], jnp.asarray(xyz), fx, modf, True)
+
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gf)):
+        a, b = np.asarray(a), np.asarray(b)
+        # atol scales with the gradient magnitude (accumulation-order fp
+        # noise); the parity claim is semantic, not bitwise
+        np.testing.assert_allclose(b, a, atol=1e-4 * max(np.abs(a).max(),
+                                                         1.0))
+
+
+def test_pppf_train_step_fused_matches_frozen_bn(rng, monkeypatch):
+    """Step-level: gradients of the fused train forward equal XLA's with
+    use_running_average=True BN (same params, same batch, same key)."""
+    import functools
+
+    from pcc_tpu.config import CodecConfig
+    from pcc_tpu.train.state import make_optimizer
+    from pcc_tpu.train.steps_pppf import create_pppf_state, pppf_forward
+
+    cfg = CodecConfig(N=256, N0=64, ALPHA=2, K=32, d=4, L=7,
+                      model="PPPF-AE")
+    tx = make_optimizer(1e-3, 0.1, 100, 100)
+    state = create_pppf_state(jax.random.key(0), cfg, tx)
+    batch = jnp.asarray(rng.random((2, cfg.N, 3)).astype(np.float32))
+    key = jax.random.key(1)
+
+    gx = jax.value_and_grad(functools.partial(
+        pppf_forward, cfg=cfg, train=False, fused=False), has_aux=True)
+    (lx, _), grx = gx(state.params, state.batch_stats, batch, key, 1e-6)
+
+    monkeypatch.setenv("PCC_PALLAS_INTERPRET", "1")
+    gf = jax.value_and_grad(functools.partial(
+        pppf_forward, cfg=cfg, train=True, fused=True), has_aux=True)
+    (lf, _), grf = gf(state.params, state.batch_stats, batch, key, 1e-6)
+
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grx), jax.tree.leaves(grf)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 def test_pppf_codec_streams_interpret(rng, monkeypatch):
     """Codec-level: PPPF streams from the fused (interpret) encoder match
     the XLA encoder's byte for byte, and decode identically."""
