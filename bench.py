@@ -413,33 +413,42 @@ def bench_full_secondaries(cheap=False):
         pcfg = PPPEConfig(compute_dtype="bfloat16")
         state = create_pppe_state(jax.random.key(11), pcfg,
                                   make_pppe_optimizer(1e-4))
-        model = make_pppe_model(pcfg)
         variables = {"params": state.params["ae"],
                      "batch_stats": state.batch_stats["ae"]}
         B = 8
         batch = jnp.asarray(np.stack(synthetic_clouds(B, N=pcfg.N, seed=4)))
 
-        @jax.jit
-        def roundtrip(batch):
-            # submodule dispatch via method-lambdas, exactly like the
-            # pppe_pcd_compress/decompress CLIs (PointCloudAE defines no
-            # encode/decode wrappers; encoder returns (latent, cond_feats))
-            lat, _ = model.apply(
-                variables, batch,
-                method=lambda m, pc, train=False: m.encoder(pc, train))
-            # decoder returns (coarse, fine); fine is the reconstruction
-            return model.apply(
-                variables, lat, method=lambda m, z: m.decoder(z))[1]
+        def make_roundtrip(model):
+            @jax.jit
+            def roundtrip(batch):
+                # submodule dispatch via method-lambdas, exactly like the
+                # pppe_pcd_compress/decompress CLIs (PointCloudAE defines
+                # no encode/decode wrappers; encoder returns
+                # (latent, cond_feats))
+                lat, _ = model.apply(
+                    variables, batch,
+                    method=lambda m, pc, train=False: m.encoder(pc, train))
+                # decoder returns (coarse, fine); fine = reconstruction
+                return model.apply(
+                    variables, lat, method=lambda m, z: m.decoder(z))[1]
+            return roundtrip
 
-        out = roundtrip(batch)
-        float(np.asarray(out.ravel()[0]))   # block_until_ready is a no-op
-        t0 = time.perf_counter()            # over the axon tunnel; force by
-        for _ in range(5):                  # fetching one element
+        # XLA vs fused Pallas sa2/sa3 stages (VERDICT r4 item 8); the
+        # compress CLI runs the fused variant
+        presults = {}
+        for fused in (False, True):
+            roundtrip = make_roundtrip(make_pppe_model(pcfg, fused=fused))
             out = roundtrip(batch)
-        float(np.asarray(out.ravel()[0]))
-        dt = time.perf_counter() - t0
-        emit("PPPE encode+decode throughput (device programs), N8192",
-             pcfg.N * B * 5 / dt)
+            float(np.asarray(out.ravel()[0]))   # block_until_ready is a
+            t0 = time.perf_counter()            # no-op over the axon
+            for _ in range(5):                  # tunnel; force by fetching
+                out = roundtrip(batch)          # one element
+            float(np.asarray(out.ravel()[0]))
+            dt = time.perf_counter() - t0
+            presults[fused] = pcfg.N * B * 5 / dt
+            emit("PPPE encode+decode throughput (device programs, "
+                 f"{'fused Pallas' if fused else 'XLA'} SA), N8192",
+                 presults[fused])
     except Exception as e:
         _log(f"PPPE secondary bench failed: {type(e).__name__}: {e}")
 

@@ -51,6 +51,11 @@ def build_parser():
                         "float32 contract. Self-contained; ~10x less rate at "
                         "identical --use_quantized distortion.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="Clouds per device dispatch (extension; the "
+                        "reference encodes one at a time, "
+                        "pppe_pcd_compress.py:55-66). Outputs are "
+                        "identical per file.")
     return p
 
 
@@ -122,7 +127,10 @@ def load_pppe_model(args, cfg: PPPEConfig):
     state = create_pppe_state(jax.random.key(args.seed), cfg, tx)
     state, _ = load_pppe_checkpoint(args.model_load_folder, state,
                                     best=args.best)
-    model = make_pppe_model(cfg)
+    # fused Pallas SA stages for the deep encoder stages (inference path;
+    # models/pppe.py::PointNetSetAbstractionKNN.fused — falls back to XLA
+    # off-TPU, streams byte-equal either way)
+    model = make_pppe_model(cfg, fused=True)
     variables = {"params": state.params["ae"],
                  "batch_stats": state.batch_stats["ae"]}
     return model, variables
@@ -137,20 +145,47 @@ def main(argv=None):
     cfg = PPPEConfig(N=args.N, latent_dim=args.K, L=args.L)
     model, variables = load_pppe_model(args, cfg)
 
-    encode = jax.jit(lambda v, x: model.apply(
-        v, x, method=lambda m, pc, train=False: m.encoder(pc, train)))
+    import functools
+
+    # normalize rides INSIDE the jitted program (vmapped per cloud — the
+    # same per-cloud arithmetic as before) and clouds batch --batch_size
+    # per dispatch: the axon tunnel charges ~30 ms per dispatch/fetch
+    # round trip, so the old cloud-at-a-time loop was latency-bound, not
+    # compute-bound. Latents are written per file exactly as before.
+    @jax.jit
+    def encode(v, x):
+        pc01 = jax.vmap(functools.partial(normalize, margin=cfg.margin))(
+            x)[0]
+        return model.apply(
+            v, pc01, method=lambda m, pc, train=False: m.encoder(pc, train)
+        )[0]
 
     files = sorted(glob(args.input_glob, recursive=True))
     print(f"Found {len(files)} point clouds.")
-    for f in files:
-        pc = read_point_cloud(f)
-        pc01, _, _ = normalize(jnp.asarray(pc), margin=cfg.margin)
-        latent, _ = encode(variables, pc01[None])
-        out = rel_output_path(f, args.input_glob, args.compressed_path, ".bin")
-        if args.entropy_coding:
-            save_binary_entropy(np.asarray(latent)[0], args.L, out)
-        else:
-            save_binary(np.asarray(latent)[0], out)
+    B = max(1, args.batch_size)
+
+    def flush(chunk, lat_dev):
+        lat = np.asarray(lat_dev)                  # one fetch per batch
+        for i, f in enumerate(chunk):
+            out = rel_output_path(f, args.input_glob,
+                                  args.compressed_path, ".bin")
+            if args.entropy_coding:
+                save_binary_entropy(lat[i], args.L, out)
+            else:
+                save_binary(lat[i], out)
+
+    pending = []                                   # 2-deep pipeline: the
+    for lo in range(0, len(files), B):             # next batch's upload +
+        chunk = files[lo:lo + B]                   # dispatch overlaps the
+        pcs = [read_point_cloud(f) for f in chunk]   # previous fetch
+        if len(pcs) < B:                           # pad the tail batch so
+            pcs += [pcs[-1]] * (B - len(pcs))      # one program serves all
+        lat_dev = encode(variables, jnp.asarray(np.stack(pcs)))
+        pending.append((chunk, lat_dev))
+        if len(pending) > 2:
+            flush(*pending.pop(0))
+    for item in pending:
+        flush(*item)
 
 
 if __name__ == "__main__":

@@ -46,23 +46,63 @@ class PointNetSetAbstractionKNN(nn.Module):
     mlp: Sequence[int]
     use_bn: bool = True
     dtype: Any = None
+    # Inference-only fused Pallas path (ops/pppf_sa_pallas.py with
+    # layout="pppe": KNN selection + gather + center + Conv/BN/ReLU + max
+    # in one VMEM-resident kernel). Engaged for the deep stages (N <= a
+    # few hundred); the whole-cloud MSG stage keeps XLA selection (an
+    # 8192-lane iterative argmin would be VPU-bound — the knn_pallas
+    # lesson). No backward rule — leave False for training.
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, xyz, features=None, train: bool = False):
+    def __call__(self, xyz, features=None, train: bool = False,
+                 precomputed=None):
+        """precomputed: optional (new_xyz, knn_idx, grouped_xyz) at
+        K' >= self.K from a sibling branch sharing centroids (MSG) — the
+        leading self.K slots of a sorted larger top-k are exactly this
+        branch's knn_points result, so one selection serves all scales."""
         B, N, _ = xyz.shape
-        if self.npoint == N:
-            new_xyz = xyz
+        if precomputed is not None:
+            new_xyz, knn_idx, grouped_xyz = precomputed
+            knn_idx = knn_idx[..., : self.K]
+            grouped_xyz = grouped_xyz[:, :, : self.K]
         else:
-            idx = fps_batch(xyz, self.npoint,
-                            jnp.zeros((xyz.shape[0],), jnp.int32))
-            new_xyz = index_points(xyz, idx)
-        _, knn_idx, grouped_xyz = knn_points(new_xyz, xyz, K=self.K, return_nn=True)
+            if self.npoint == N:
+                new_xyz = xyz
+            else:
+                idx = fps_batch(xyz, self.npoint,
+                                jnp.zeros((xyz.shape[0],), jnp.int32))
+                new_xyz = index_points(xyz, idx)
+            knn_idx = grouped_xyz = None
+
+        mlp = PointwiseMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype,
+                           name="mlp")
+        from pcc_tpu.ops.pallas_gate import pallas_gate
+
+        use_fused, interp = pallas_gate()
+        if (self.fused and not train and self.use_bn and xyz.ndim == 3
+                and precomputed is None and use_fused):
+            from pcc_tpu.ops.pppf_sa_pallas import fold_bn, pppf_sa_fused
+
+            C_in = 3 + (features.shape[-1] if features is not None else 0)
+            wb = mlp(jnp.zeros((1, C_in), jnp.float32), probe=True)
+            layers = [(w, b) + fold_bn(bn_p, bn_s)
+                      for w, b, bn_p, bn_s in wb]
+            out = pppf_sa_fused(
+                new_xyz, xyz,
+                None if features is None else features.astype(jnp.float32),
+                layers, nsample=self.K, radius=0.0, layout="pppe",
+                compute_dtype=self.dtype, interpret=interp)
+            return new_xyz, (out.astype(self.dtype) if self.dtype else out)
+
+        if knn_idx is None:
+            _, knn_idx, grouped_xyz = knn_points(new_xyz, xyz, K=self.K,
+                                                 return_nn=True)
         grouped = grouped_xyz - new_xyz[:, :, None, :]
         if features is not None:
             grouped = jnp.concatenate(
                 [grouped, index_points(features, knn_idx)], axis=-1)
-        out = PointwiseMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype,
-                           name="mlp")(grouped, train)
+        out = mlp(grouped, train)
         return new_xyz, jnp.max(out, axis=2)
 
 
@@ -77,13 +117,29 @@ class PointNetSetAbstractionMSG(nn.Module):
 
     @nn.compact
     def __call__(self, xyz, features=None, train: bool = False):
+        # One FPS + one top-Kmax KNN shared across branches: a sorted
+        # larger top-k's leading K' slots ARE the K'-branch's knn_points
+        # result (same values, same tie order), so the expensive
+        # whole-cloud selection runs once instead of per scale. Byte-equal
+        # to the per-branch form.
+        B, N, _ = xyz.shape
+        if self.npoint == N:
+            new_xyz = xyz
+        else:
+            idx = fps_batch(xyz, self.npoint,
+                            jnp.zeros((xyz.shape[0],), jnp.int32))
+            new_xyz = index_points(xyz, idx)
+        k_max = max(sc["K"] for sc in self.scales)
+        _, knn_idx, grouped_xyz = knn_points(new_xyz, xyz, K=k_max,
+                                             return_nn=True)
+
         outs = []
-        new_xyz = None
         for i, sc in enumerate(self.scales):
             branch = PointNetSetAbstractionKNN(
                 npoint=self.npoint, K=sc["K"], mlp=tuple(sc["mlp"]),
                 use_bn=self.use_bn, dtype=self.dtype, name=f"branch_{i}")
-            new_xyz, feat = branch(xyz, features, train)
+            _, feat = branch(xyz, features, train,
+                             precomputed=(new_xyz, knn_idx, grouped_xyz))
             outs.append(feat)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -96,6 +152,7 @@ class PointNet2EncoderFull(nn.Module):
     latent_dim: int = 256
     use_bn: bool = True
     dtype: Any = None
+    fused: bool = False   # see PointNetSetAbstractionKNN.fused (sa2/sa3)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -105,10 +162,12 @@ class PointNet2EncoderFull(nn.Module):
             use_bn=self.use_bn, dtype=self.dtype, name="sa1")(x, None, train)
         xyz, feat = PointNetSetAbstractionKNN(
             npoint=128, K=32, mlp=(128, 128, 256),
-            use_bn=self.use_bn, dtype=self.dtype, name="sa2")(xyz, feat, train)
+            use_bn=self.use_bn, dtype=self.dtype, fused=self.fused,
+            name="sa2")(xyz, feat, train)
         xyz, feat = PointNetSetAbstractionKNN(
             npoint=32, K=32, mlp=(256, 256, 512),
-            use_bn=self.use_bn, dtype=self.dtype, name="sa3")(xyz, feat, train)
+            use_bn=self.use_bn, dtype=self.dtype, fused=self.fused,
+            name="sa3")(xyz, feat, train)
         global_feat = jnp.max(feat, axis=1)                  # [B, 512]
         h = TorchDense(512, use_bias=False, dtype=self.dtype,
                        name="gc0")(global_feat)
@@ -193,10 +252,12 @@ class PointCloudAE(nn.Module):
     latent_bins: int = 16
     npoints: int = 8192
     dtype: Any = None
+    fused: bool = False   # see PointNetSetAbstractionKNN.fused
 
     def setup(self):
         self.encoder = PointNet2EncoderFull(latent_dim=self.latent_dim,
-                                            dtype=self.dtype)
+                                            dtype=self.dtype,
+                                            fused=self.fused)
         self.decoder = PCNDecoderSmall(
             latent_dim=self.latent_dim, coarse_points=512,
             final_points=self.npoints, dtype=self.dtype)

@@ -44,9 +44,16 @@ from pcc_tpu.ops.sa_pallas import _argmin_lanes
 
 def _stage_kernel(new_ref, xyz_ref, *refs, nsample: int, radius: float,
                   n_layers: int, has_feat: bool, compute_dtype,
-                  slot_group: int):
+                  slot_group: int, layout: str = "pppf"):
     """new_ref [BP, S, 3]; xyz_ref [BP, N, 3]; refs = ([feat [BP, N, C]],
-    then per layer W, b, mean, mul, bn_bias, then out_ref [BP, S, C_out])."""
+    then per layer W, b, mean, mul, bn_bias, then out_ref [BP, S, C_out]).
+
+    layout selects the family's grouping contract:
+      "pppf": [feat | xyz] features-first, UNcentered, ball-radius mask
+              (pointnet_sa_module.py:74-85).
+      "pppe": [xyz - query | feat] centered-coords-first, pure KNN, no
+              mask (pppe_pcd_ae.py:573-614 — the PPPE family's
+              PointNetSetAbstractionKNN)."""
     if has_feat:
         feat_ref, *refs = refs
     *layer_refs, out_ref = refs
@@ -55,10 +62,13 @@ def _stage_kernel(new_ref, xyz_ref, *refs, nsample: int, radius: float,
     BP, S, _ = new_xyz.shape
     N = xyz.shape[1]
 
-    # rows to gather: [feat | xyz] features-first (uncentered)
     if has_feat:
-        rows = jnp.concatenate(
-            [feat_ref[...].astype(jnp.float32), xyz], axis=-1)  # [BP,N,C+3]
+        featf = feat_ref[...].astype(jnp.float32)
+        if layout == "pppe":
+            rows = jnp.concatenate([xyz, featf], axis=-1)    # [BP,N,3+C]
+        else:
+            # [feat | xyz] features-first (uncentered)
+            rows = jnp.concatenate([featf, xyz], axis=-1)    # [BP,N,C+3]
     else:
         rows = xyz
     row0 = jax.lax.slice_in_dim(rows, 0, 1, axis=1)      # [BP, 1, C+3]
@@ -108,13 +118,19 @@ def _stage_kernel(new_ref, xyz_ref, *refs, nsample: int, radius: float,
         nb = jax.lax.dot_general(
             oh_g, rows, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)          # [BP, g*S, C+3]
-        # radius mask on exactly recomputed distances (the gathered xyz
-        # lives in the trailing 3 lanes), as ops/knn.py::ball_query does
         nbg = nb.reshape(BP, g, S, -1)
-        diff = nbg[..., -3:] - new_xyz[:, None]
-        dexact = jnp.sum(diff * diff, axis=-1)           # [BP, g, S]
-        inside = (dexact <= r2).reshape(BP, g * S)[:, :, None]
-        nb = jnp.where(inside, nb, row0)
+        if layout == "pppe":
+            # center the leading xyz lanes on the query; no radius mask
+            cx = nbg[..., :3] - new_xyz[:, None]
+            nb = jnp.concatenate([cx, nbg[..., 3:]], axis=-1).reshape(
+                BP, g * S, -1)
+        else:
+            # radius mask on exactly recomputed distances (the gathered
+            # xyz lives in the trailing 3 lanes), as ball_query does
+            diff = nbg[..., -3:] - new_xyz[:, None]
+            dexact = jnp.sum(diff * diff, axis=-1)       # [BP, g, S]
+            inside = (dexact <= r2).reshape(BP, g * S)[:, :, None]
+            nb = jnp.where(inside, nb, row0)
         h = nb.reshape(BP * g * S, nb.shape[-1])
         for i in range(n_layers):
             h = dense_bn_relu(h, i)
@@ -137,7 +153,7 @@ def fold_bn(bn_params, bn_stats, eps: float = 1e-5):
 def pppf_sa_fused(new_xyz: jnp.ndarray, xyz: jnp.ndarray,
                   feat: jnp.ndarray | None, layers, *, nsample: int,
                   radius: float, compute_dtype=None, block_p: int = 8,
-                  slot_group: int | None = None,
+                  slot_group: int | None = None, layout: str = "pppf",
                   interpret: bool = False) -> jnp.ndarray:
     """Fused PN++ SA stage over a flat patch batch.
 
@@ -187,7 +203,8 @@ def pppf_sa_fused(new_xyz: jnp.ndarray, xyz: jnp.ndarray,
         functools.partial(
             _stage_kernel, nsample=nsample, radius=radius,
             n_layers=len(layers), has_feat=feat is not None,
-            compute_dtype=compute_dtype, slot_group=slot_group),
+            compute_dtype=compute_dtype, slot_group=slot_group,
+            layout=layout),
         grid=(Pp // block_p,),
         in_specs=specs,
         out_specs=pl.BlockSpec((block_p, S, C_out), lambda i: (i, 0, 0)),

@@ -43,10 +43,13 @@ class PPPETrainState:
         )
 
 
-def make_pppe_model(cfg: PPPEConfig) -> PointCloudAE:
+def make_pppe_model(cfg: PPPEConfig, fused: bool = False) -> PointCloudAE:
+    """fused=True enables the inference-only fused Pallas SA stages
+    (models/pppe.py::PointNetSetAbstractionKNN.fused) — the compress /
+    eval CLIs pass it; training paths leave it off."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
     return PointCloudAE(latent_dim=cfg.latent_dim, latent_bins=cfg.L,
-                        npoints=cfg.N, dtype=dtype)
+                        npoints=cfg.N, dtype=dtype, fused=fused)
 
 
 def make_pppe_optimizer(lr: float, grad_clip: float = 1.0):

@@ -172,6 +172,68 @@ def test_pppe_use_quantized_decode_matches_training_path(model_and_vars,
     np.testing.assert_allclose(out, np.asarray(fine)[0], atol=1e-5)
 
 
+def test_pppe_fused_encoder_parity_interpret(model_and_vars, rng,
+                                             monkeypatch):
+    """Fused sa2/sa3 stages (ops/pppf_sa_pallas.py layout='pppe', exact
+    kernel under the Pallas interpreter) must reproduce the XLA encoder
+    latent — the raw-float stream contract follows (VERDICT r4 item 8)."""
+    model, variables = model_and_vars
+    x = jnp.asarray(rng.random((2, CFG.N, 3)).astype(np.float32))
+    enc = lambda m, pc: m.encoder(pc, False)
+    lat_x, gf_x = model.apply(variables, x, method=enc)
+
+    monkeypatch.setenv("PCC_PALLAS_INTERPRET", "1")
+    modelf = PointCloudAE(latent_dim=CFG.latent_dim, latent_bins=CFG.L,
+                          npoints=CFG.N, fused=True)
+    lat_f, gf_f = modelf.apply(variables, x, method=enc)
+    np.testing.assert_allclose(np.asarray(lat_f), np.asarray(lat_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf_f), np.asarray(gf_x),
+                               atol=1e-5)
+
+
+def test_pppe_compress_cli_batched_matches_direct(model_and_vars, tmp_path,
+                                                  rng):
+    """The batched compress CLI (one dispatch per --batch_size clouds,
+    tail padded) writes per file exactly the latent the encoder produces
+    for that cloud alone."""
+    import functools
+
+    from pcc_tpu.cli import pppe_pcd_compress
+    from pcc_tpu.io import save_point_cloud
+    from pcc_tpu.ops.normalize import normalize
+    from pcc_tpu.train.checkpoint import save_pppe_checkpoint
+    from pcc_tpu.train.steps_pppe import (create_pppe_state,
+                                          make_pppe_optimizer)
+
+    state = create_pppe_state(jax.random.key(3), CFG, make_pppe_optimizer(1e-3))
+    save_pppe_checkpoint(str(tmp_path / "model"), state, 1, best=False)
+    model = PointCloudAE(latent_dim=CFG.latent_dim, latent_bins=CFG.L,
+                         npoints=CFG.N)
+    variables = {"params": state.params["ae"],
+                 "batch_stats": state.batch_stats["ae"]}
+
+    pcs = [rng.random((CFG.N, 3)).astype(np.float32) for _ in range(3)]
+    for i, pc in enumerate(pcs):
+        save_point_cloud(pc, f"{i}.ply", path=str(tmp_path / "in"))
+
+    pppe_pcd_compress.main([
+        str(tmp_path / "in" / "*.ply"), str(tmp_path / "comp"),
+        str(tmp_path / "model"), "--N", str(CFG.N),
+        "--K", str(CFG.latent_dim), "--L", str(CFG.L),
+        "--batch_size", "2"])      # 3 files -> one full + one padded batch
+
+    for i, pc in enumerate(pcs):
+        with open(tmp_path / "comp" / f"{i}.bin", "rb") as f:
+            n = struct.unpack("<I", f.read(4))[0]
+            got = np.fromfile(f, dtype="<f4", count=n)
+        pc01 = normalize(jnp.asarray(pc), margin=CFG.margin)[0]
+        want, _ = model.apply(
+            variables, pc01[None],
+            method=lambda m, pc_, train=False: m.encoder(pc_, train))
+        np.testing.assert_allclose(got, np.asarray(want)[0], atol=1e-5)
+
+
 def test_pppe_entropy_stream_roundtrip(tmp_path, rng):
     """Entropy-coded .bin: symbols survive encode->decode exactly, the
     stream is ~10x smaller than the raw contract, and the raw format is
