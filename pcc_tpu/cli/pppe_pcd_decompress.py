@@ -55,6 +55,11 @@ def build_parser():
                         "time path) to the decoder instead of the "
                         "reference's vestigial sigmoid-spread transform.")
     p.add_argument("--seed", type=int, default=DEFAULT_SEED)
+    p.add_argument("--batch_size", type=int, default=32,
+                   help="Latents per device dispatch (extension; the "
+                        "reference decodes one at a time, "
+                        "pppe_pcd_decompress.py:55-66). Outputs are "
+                        "identical per file.")
     return p
 
 
@@ -95,34 +100,74 @@ def main(argv=None):
     cfg = PPPEConfig(N=args.N, latent_dim=args.K, L=args.L)
     model, variables = load_pppe_model(args, cfg)
 
-    decode = jax.jit(lambda v, z: model.apply(
-        v, z, method=lambda m, latent: m.decoder(latent)))
+    import functools
 
-    files = sorted(glob(args.input_glob, recursive=True))
-    print(f"Found {len(files)} compressed files.")
-    for f in files:
-        raw, is_quantized = load_binary_any(f)
-        latent = jnp.asarray(raw)
-        if is_quantized:
+    # The latent->z transform rides inside the jitted program (the same
+    # elementwise arithmetic as the old per-file dispatch), and latents
+    # batch --batch_size per dispatch — the axon tunnel charges ~30 ms
+    # per round trip, so the old file-at-a-time loop was latency-bound.
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def decode_batch(v, latents, mode):
+        if mode == "quantized":
             # entropy-coded stream: symbols ARE the quantize_st forward
             # values; feed them straight to the decoder (training path)
-            z = latent
-        elif args.use_quantized:
+            z = latents
+        elif mode == "round":
             # the training-time path: PointCloudAE.quantize_st's forward
             # (clamp to [q_min, q_max] = [0, latent_bins-1], round), with
             # latent_bins = L as in make_pppe_model
-            z = jnp.round(jnp.clip(latent, 0.0, args.L - 1.0))
+            z = jnp.round(jnp.clip(latents, 0.0, args.L - 1.0))
         else:
             # reference source behavior: sigmoid spread computed, rounding
-            # discarded, unrounded value decoded (pppe_pcd_decompress.py:42-48)
+            # discarded, unrounded value decoded
+            # (pppe_pcd_decompress.py:42-48)
             spread = args.L - 0.2
-            z = jax.nn.sigmoid(latent) * spread - spread / 2
-        _, fine = decode(variables, z)
+            z = jax.nn.sigmoid(latents) * spread - spread / 2
+        return model.apply(
+            v, z, method=lambda m, latent: m.decoder(latent))[1]
+
+    files = sorted(glob(args.input_glob, recursive=True))
+    print(f"Found {len(files)} compressed files.")
+    B = max(1, args.batch_size)
+
+    def write_one(f, fine_row):
         out = rel_output_path(f, args.input_glob, args.decompressed_path, "")
         out_dir, name = os.path.split(out)
         base = name[:-len(".bin")] if name.endswith(".bin") else name
-        save_point_cloud(np.asarray(fine)[0], base + ".bin.ply",
-                         path=out_dir or ".")
+        save_point_cloud(fine_row, base + ".bin.ply", path=out_dir or ".")
+
+    def flush(chunk, fine_dev):
+        fine = np.asarray(fine_dev)               # one fetch per batch
+        for i, f in enumerate(chunk):
+            write_one(f, fine[i])
+
+    # streams are bucketed by (transform mode, latent width) so one
+    # compiled program serves each homogeneous run; mixed inputs simply
+    # fill several buckets
+    buckets, pending = {}, []
+    def dispatch(key, items):
+        mode, _ = key
+        chunk = [f for f, _ in items]
+        lats = [r[0] for _, r in items]
+        if len(lats) < B:                          # pad the tail batch so
+            lats += [lats[-1]] * (B - len(lats))   # one program serves all
+        fine_dev = decode_batch(variables, jnp.asarray(np.stack(lats)), mode)
+        pending.append((chunk, fine_dev))
+        if len(pending) > 2:                       # 2-deep fetch pipeline
+            flush(*pending.pop(0))
+
+    for f in files:
+        raw, is_quantized = load_binary_any(f)
+        mode = ("quantized" if is_quantized
+                else "round" if args.use_quantized else "sigmoid")
+        key = (mode, raw.shape[-1])
+        buckets.setdefault(key, []).append((f, raw))
+        if len(buckets[key]) == B:
+            dispatch(key, buckets.pop(key))
+    for key, items in buckets.items():
+        dispatch(key, items)
+    for item in pending:
+        flush(*item)
 
 
 if __name__ == "__main__":

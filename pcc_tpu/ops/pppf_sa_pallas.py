@@ -339,19 +339,36 @@ def _stage_bwd_kernel(new_ref, xyz_ref, *refs, nsample: int, radius: float,
             x = cast(h)
         return xs, zs, x
 
-    # ---- pass 1: selection + max-winner tracking (activations discarded;
-    # only the per-slot winner indices [BP, S] survive — tiny) ----
-    feats = jnp.full((BP * S, C_out), -jnp.inf, jnp.float32)
-    best = jnp.zeros((BP * S, C_out), jnp.int32)
-    idx_slots = []
-    for g0 in range(0, nsample, g):
+    def select_group(d2):
+        """The next g winner one-hots + the masked distance matrix — the
+        exact sequential selection of the forward kernel. Deterministic,
+        so pass 2 re-derives the identical slot sequence instead of
+        carrying per-slot indices across the whole unrolled kernel (32
+        stored index arrays put Mosaic's register allocator 55 MB past
+        VMEM in spill slots at the sa1 shape; recompute costs one extra
+        [S, N] distance matmul per pass and frees all of it)."""
         ohs = []
         for _ in range(g):
             idx = _argmin_lanes(d2, iota, N)
-            idx_slots.append(idx)
             oh = (iota == idx[:, :, None]).astype(jnp.float32)
             d2 = jnp.where(oh != 0.0, jnp.inf, d2)
             ohs.append(oh)
+        return ohs, d2
+
+    # Both passes run as lax.fori_loop over slot GROUPS: the group body
+    # compiles once instead of nsample/g times. The fully unrolled form
+    # put Mosaic's register allocator 55 MB past VMEM in spill slots at
+    # the sa1 shape (nsample=32, two passes), and an intermediate
+    # recompute-but-unrolled form still took the remote compiler >25 min.
+    # Unrolling was a measured perf win for the IPDAE FORWARD kernel
+    # (sa_pallas.py) at knn=16; here compile feasibility binds.
+
+    # ---- pass 1: selection + max-winner tracking (activations and
+    # selection discarded; only feats/best survive to pass 2) ----
+    def pass1_body(it, carry):
+        d2, feats, best = carry
+        g0 = it * g
+        ohs, d2 = select_group(d2)
         _, nb, _ = group_gather(ohs)
         *_, h = mlp_replay(nb)
         hg = h.astype(jnp.float32).reshape(BP, g, S, C_out)
@@ -361,6 +378,12 @@ def _stage_bwd_kernel(new_ref, xyz_ref, *refs, nsample: int, radius: float,
                                slot_io, g), axis=1).reshape(BP * S, C_out)
         best = jnp.where(gm > feats, g0 + gi, best)
         feats = jnp.maximum(feats, gm)
+        return d2, feats, best
+
+    _, feats, best = jax.lax.fori_loop(
+        0, nsample // g, pass1_body,
+        (d2, jnp.full((BP * S, C_out), -jnp.inf, jnp.float32),
+         jnp.zeros((BP * S, C_out), jnp.int32)))
 
     i_prog = pl.program_id(0)
 
@@ -369,18 +392,22 @@ def _stage_bwd_kernel(new_ref, xyz_ref, *refs, nsample: int, radius: float,
         for r in grad_refs:
             r[...] = jnp.zeros(r.shape, r.dtype)
 
-    # ---- pass 2: per-group recompute + backprop ----
+    # ---- pass 2: per-group recompute + backprop. The selection sequence
+    # is re-derived from a fresh distance matrix (deterministic — same
+    # math, same order), and the input gradients accumulate in the OUTPUT
+    # refs (VMEM), not in registers carried across the loop ----
     gout = g_ref[...].astype(jnp.float32)                # [BP, S, C_out]
     bestr = best.reshape(BP, 1, S, C_out)
     live = (feats > 0.0).reshape(BP, 1, S, C_out)
     goutr = gout.reshape(BP, 1, S, C_out)
 
-    dxyz = jnp.zeros((BP, N, 3), jnp.float32)
-    dfeat = (jnp.zeros((BP, N, C_rows - 3), jnp.float32)
-             if has_feat else None)
-    for gidx, g0 in enumerate(range(0, nsample, g)):
-        ohs = [(iota == idx_slots[g0 + j][:, :, None]).astype(jnp.float32)
-               for j in range(g)]
+    dxyz_ref[...] = jnp.zeros((BP, N, 3), jnp.float32)
+    if has_feat:
+        dfeat_ref[...] = jnp.zeros((BP, N, C_rows - 3), jnp.float32)
+
+    def pass2_body(it, d2):
+        g0 = it * g
+        ohs, d2 = select_group(d2)
         oh_g, nb, inside = group_gather(ohs)
         xs, zs, _ = mlp_replay(nb)
 
@@ -417,12 +444,16 @@ def _stage_bwd_kernel(new_ref, xyz_ref, *refs, nsample: int, radius: float,
             preferred_element_type=jnp.float32)          # [BP, N, C+3]
         drow0 = jnp.sum(jnp.where(inside, 0.0, dnb), axis=1)  # [BP, C+3]
         dscat = dscat + jnp.where(e_row0, drow0[:, None, :], 0.0)
-        dxyz = dxyz + dscat[..., -3:]
+        dxyz_ref[...] += dscat[..., -3:]
         if has_feat:
-            dfeat = dfeat + dscat[..., :-3]
-    dxyz_ref[...] = dxyz
-    if has_feat:
-        dfeat_ref[...] = dfeat
+            dfeat_ref[...] += dscat[..., :-3]
+        return d2
+
+    cross2 = jax.lax.dot_general(
+        new_xyz, xyz, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    d2b = jnp.maximum(q2[:, :, None] - 2.0 * cross2 + p2[:, None, :], 0.0)
+    jax.lax.fori_loop(0, nsample // g, pass2_body, d2b)
 
 
 def _stage_bwd_flat(new_xyz, xyz, feat, gout, layers, *, nsample, radius,

@@ -140,7 +140,9 @@ def test_pppf_train_step_fused_matches_frozen_bn(rng, monkeypatch):
                       model="PPPF-AE")
     tx = make_optimizer(1e-3, 0.1, 100, 100)
     state = create_pppf_state(jax.random.key(0), cfg, tx)
-    batch = jnp.asarray(rng.random((2, cfg.N, 3)).astype(np.float32))
+    # B=1: the interpret-mode backward kernels dominate this test's cost
+    # (grid steps scale with B*S); one cloud exercises the same program
+    batch = jnp.asarray(rng.random((1, cfg.N, 3)).astype(np.float32))
     key = jax.random.key(1)
 
     gx = jax.value_and_grad(functools.partial(
