@@ -325,11 +325,16 @@ def bench_train_step():
         key = jax.random.key(0)
         state, aux = step(state, batch, key, 0.0)      # compile
         float(np.asarray(aux["loss"]))
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            state, aux = step(state, batch, key, 0.0)
-        float(np.asarray(aux["loss"]))                 # forces the chain
-        dt = time.perf_counter() - t0
+        # best of 3 windows: per-dispatch tunnel latency jitter dominates
+        # a single short window (the steps chain through donated state;
+        # the wall time is enqueue-rate bound, not device bound)
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                state, aux = step(state, batch, key, 0.0)
+            float(np.asarray(aux["loss"]))             # forces the chain
+            dt = min(dt, time.perf_counter() - t0)
         pts = B * cfg.N * REPS / dt
         results[fused] = pts
         _log(json.dumps({
@@ -360,11 +365,13 @@ def bench_train_step():
             key = jax.random.key(0)
             state, aux = step(state, batch, key, 0.0)  # compile
             float(np.asarray(aux["loss"]))
-            t0 = time.perf_counter()
-            for _ in range(REPSp):
-                state, aux = step(state, batch, key, 0.0)
-            float(np.asarray(aux["loss"]))             # forces the chain
-            dt = time.perf_counter() - t0
+            dt = float("inf")                          # best of 3 windows
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(REPSp):
+                    state, aux = step(state, batch, key, 0.0)
+                float(np.asarray(aux["loss"]))         # forces the chain
+                dt = min(dt, time.perf_counter() - t0)
             pts = Bp * cfg.N * REPSp / dt
             presults[fused] = pts
             _log(json.dumps({
@@ -468,6 +475,38 @@ def bench_full_secondaries(cheap=False):
             emit("PPPE encode+decode throughput (device programs, "
                  f"{'fused Pallas' if fused else 'XLA'} SA), N8192",
                  presults[fused])
+
+        # CLI-contract level: the reference encodes one cloud per call
+        # (pppe_pcd_compress.py:55-66 — one ~30 ms tunnel round trip per
+        # cloud here); the batched CLI dispatches --batch_size clouds per
+        # program. Measure both dispatch patterns on the same encoder.
+        model = make_pppe_model(pcfg, fused=True)
+        enc = jax.jit(lambda v, x: model.apply(
+            v, x, method=lambda m, pc, train=False: m.encoder(pc, train))[0])
+        n_cli = 32
+        cl32 = jnp.asarray(np.stack(synthetic_clouds(n_cli, N=pcfg.N,
+                                                     seed=5)))
+        lat = enc(variables, cl32)                  # compile B=32
+        float(np.asarray(lat.ravel()[0]))
+        lat1 = enc(variables, cl32[:1])             # compile B=1
+        float(np.asarray(lat1.ravel()[0]))
+        t0 = time.perf_counter()
+        for i in range(n_cli):                      # old CLI: per-cloud
+            lat1 = enc(variables, cl32[i:i + 1])    # dispatch + fetch
+            np.asarray(lat1)
+        t_seq = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        lat = enc(variables, cl32)                  # new CLI: one batch
+        np.asarray(lat)
+        t_bat = time.perf_counter() - t0
+        emit(f"PPPE compress CLI path, per-cloud dispatch x{n_cli} "
+             "(reference contract)", pcfg.N * n_cli / t_seq)
+        _log(json.dumps({
+            "metric": f"PPPE compress CLI path, one batch-{n_cli} "
+                      "dispatch (batched CLI)",
+            "value": round(pcfg.N * n_cli / t_bat, 1),
+            "unit": "points/sec/chip",
+            "vs_baseline": round(t_seq / t_bat, 2)}))
     except Exception as e:
         _log(f"PPPE secondary bench failed: {type(e).__name__}: {e}")
 
@@ -912,8 +951,11 @@ def main():
     # codec bench in one process measures ~20x slow (allocator/tunnel
     # state from the 512-cloud codec phase poisons the step timing —
     # observed 1.1M vs 50.8M pts/s for identical code)
-    for flag, label, tmo in (("--train", "train-step", 1800),
-                             ("--secondaries", "secondaries", 2400)):
+    # timeouts sized for the remote-compile tax: the PPPF fused train step
+    # alone compiles ~10 min (three fwd + three bwd Mosaic kernels), the
+    # fused PPPE secondaries add two more programs
+    for flag, label, tmo in (("--train", "train-step", 3600),
+                             ("--secondaries", "secondaries", 3300)):
         try:
             out = subprocess.run([sys.executable, __file__, flag],
                                  capture_output=True, text=True, cwd=REPO,
