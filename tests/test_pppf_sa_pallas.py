@@ -127,9 +127,13 @@ def test_stage_grad_parity_interpret(rng, monkeypatch, npoint, radius,
                                                          1.0))
 
 
+@pytest.mark.slow
 def test_pppf_train_step_fused_matches_frozen_bn(rng, monkeypatch):
     """Step-level: gradients of the fused train forward equal XLA's with
-    use_running_average=True BN (same params, same batch, same key)."""
+    use_running_average=True BN (same params, same batch, same key).
+    slow: ~220 s — the whole pppf_forward compiles twice and the fused
+    half runs three interpret-mode backward kernels; the quick suite
+    keeps kernel-gradient coverage via test_stage_grad_parity_interpret."""
     import functools
 
     from pcc_tpu.config import CodecConfig
